@@ -1,0 +1,144 @@
+"""Benchmark: end-to-end classification throughput (reads/sec/chip).
+
+Synthetic analogue of BASELINE config 2 (GTDB-subset-like DB + 150 bp
+Illumina reads): builds an in-memory multi-genome DB, simulates reads
+with 1% error, warms up the device pipeline, then measures steady-state
+end-to-end throughput (device extract+match, host compaction+scoring).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against REFERENCE_READS_PER_SEC, a nominal
+single-node throughput for the reference C++ Metabuli on short reads
+(the repo publishes no formal tables — BASELINE.md; this constant is a
+placeholder until a reference binary measurement exists).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_READS_PER_SEC = 10_000.0  # nominal; see module docstring
+
+N_GENOMES = 8
+GENOME_LEN = 200_000
+N_READS = 4096
+READ_LEN = 150
+BATCH = 1024
+
+
+def build_synthetic(rng):
+    from metabuli_work_tpu.index.builder import IndexBuilder
+    from metabuli_work_tpu.taxonomy import Taxonomy
+
+    # taxonomy: N_GENOMES species under 2 genera
+    n = N_GENOMES
+    parent = [0, 1, 1, 1]  # 0 unused, 1 root, 2/3 genera
+    rank_idx, name_idx = [0, 0, 1, 1], [0, 0, 1, 2]
+    rank_pool = ["no rank", "genus", "species"]
+    name_pool = ["root", "G1", "G2"]
+    int2orig = [0, 1, 101, 102]
+    for i in range(n):
+        parent.append(2 + (i % 2))
+        rank_idx.append(2)
+        name_pool.append(f"Species{i}")
+        name_idx.append(3 + i)
+        int2orig.append(1000 + i)
+    tax = Taxonomy(np.array(parent), np.array(rank_idx), np.array(name_idx),
+                   rank_pool, name_pool, np.array(int2orig))
+
+    genomes = []
+    builder = IndexBuilder(tax, mask_mode=0)
+    base = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=GENOME_LEN)
+    for i in range(n):
+        g = base.copy()
+        mut = rng.random(GENOME_LEN) < 0.05  # 5% divergence between species
+        g[mut] = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=int(mut.sum()))
+        seq = g.tobytes().decode()
+        genomes.append(seq)
+        builder.add_sequence(seq, 4 + i)
+    return builder.finalize(), tax, genomes
+
+
+def simulate_reads(genomes, rng):
+    reads = np.zeros((N_READS, READ_LEN), dtype=np.uint8)
+    comp = np.zeros(256, dtype=np.uint8)
+    for a, b in zip(b"ACGT", b"TGCA"):
+        comp[a] = b
+    for i in range(N_READS):
+        g = genomes[int(rng.integers(0, len(genomes)))].encode()
+        s = int(rng.integers(0, len(g) - READ_LEN))
+        r = np.frombuffer(g[s:s + READ_LEN], dtype=np.uint8).copy()
+        err = rng.random(READ_LEN) < 0.01
+        r[err] = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=int(err.sum()))
+        if rng.random() < 0.5:
+            r = comp[r[::-1]]
+        reads[i] = r
+    return reads
+
+
+def main():
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    index, tax, genomes = build_synthetic(rng)
+    reads = simulate_reads(genomes, rng)
+    print(f"# setup: DB {index.size} kmers, {N_READS} reads ({time.time()-t0:.1f}s)",
+          file=sys.stderr)
+
+    import jax
+    import jax.numpy as jnp
+
+    from metabuli_work_tpu.classify.pipeline import Classifier, ClassifyParams
+    from metabuli_work_tpu.classify.taxonomer import MATCH_DTYPE, ReadResult, sort_matches
+    from metabuli_work_tpu.models.flagship import classify_step
+
+    # wire a Classifier around the in-memory index (no disk round-trip)
+    params = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
+                            batch_size=BATCH)
+    clf = Classifier.__new__(Classifier)
+    clf.params = params
+    clf.index = index
+    clf.taxonomy = tax
+    clf.kmer_format = 2
+    clf.syncmer = False
+    clf.smer_len = 5
+    clf.db_values = jnp.asarray(index.values)
+    clf.db_taxids = jnp.asarray(index.taxids.astype(np.int32))
+    clf.db_species = jnp.asarray(index.species.astype(np.int32))
+    clf.cap = int(min(max(index.max_aa_run(), 8), params.max_cap))
+    from metabuli_work_tpu.classify.taxonomer import Taxonomer
+    clf.taxonomer = Taxonomer(tax, kmer_format=2, seq_mode=1,
+                              min_score=0.15, min_sp_score=0.5)
+    clf.total_match_cnt = 0
+
+    names = [f"r{i}" for i in range(BATCH)]
+    seqs = ["".join(map(chr, row)) for row in reads[:BATCH]]
+
+    # warmup (compile)
+    t0 = time.time()
+    res = clf.classify_batch(names, seqs)
+    print(f"# warmup batch: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # steady state
+    n_batches = N_READS // BATCH
+    t0 = time.time()
+    classified = 0
+    for b in range(n_batches):
+        seqs_b = ["".join(map(chr, row)) for row in reads[b * BATCH:(b + 1) * BATCH]]
+        res = clf.classify_batch(names, seqs_b)
+        classified += sum(1 for q in res if q.result.is_classified)
+    dt = time.time() - t0
+    rate = N_READS / dt
+    print(f"# measured: {N_READS} reads in {dt:.2f}s, {classified} classified",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "reads_per_sec_per_chip_150bp",
+        "value": round(rate, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rate / REFERENCE_READS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

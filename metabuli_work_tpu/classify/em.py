@@ -1,0 +1,116 @@
+"""EM abundance re-estimation + per-read reclassification.
+
+Reference: Classifier::em / reclassify (src/commons/Classifier.cpp:
+210-388): per-read top-10 (species, score^2) mappings -> EM over species
+probabilities weighted by 1/log(unique k-mers per species) -> per-read
+reassignment to the LCA of the smallest species set whose posterior
+mass reaches 0.5.  Vectorized here with numpy over the flat mapping
+arrays (the per-species reductions are segment sums).
+"""
+
+import os
+
+import numpy as np
+
+from ..report import reporter
+
+
+def species_unique_kmer_counts(index):
+    """Unique-k-mer count per species (reference counts info entries per
+    species, Classifier.cpp:390-440)."""
+    uniq, counts = np.unique(index.species, return_counts=True)
+    return dict(zip(uniq.tolist(), counts.tolist()))
+
+
+def run_em(records, classifier, out_dir, job_id, max_iter=1000, tol=1e-6):
+    tax = classifier.taxonomy
+    # flat mapping arrays
+    qids, sps, scores = [], [], []
+    for qi, qr in enumerate(records):
+        r = qr.result
+        if not r or not r.species_scores:
+            continue
+        for sp, sc in r.species_scores:
+            qids.append(qi)
+            sps.append(sp)
+            scores.append(sc)
+    if not qids:
+        print("EM: no mappings, skipping")
+        return
+    qids = np.asarray(qids, dtype=np.int64)
+    sps = np.asarray(sps, dtype=np.int64)
+    scores = np.asarray(scores, dtype=np.float64)
+
+    sp_kmers = species_unique_kmer_counts(classifier.index)
+    lf = np.array([1.0 / np.log(sp_kmers[s]) if sp_kmers.get(s, 0) > 1 else 0.0 for s in sps])
+
+    sp_list = np.unique(sps)
+    sp_idx = {int(s): i for i, s in enumerate(sp_list)}
+    sp_pos = np.array([sp_idx[int(s)] for s in sps])
+    probs = np.full(len(sp_list), 1.0 / len(sp_list))
+
+    n_queries = int(qids.max()) + 1
+    w_base = scores * lf
+    query_count = 0
+    for it in range(max_iter):
+        w = w_base * probs[sp_pos]
+        denom = np.bincount(qids, weights=w, minlength=n_queries)
+        ok = denom[qids] > 0
+        frac = np.zeros_like(w)
+        frac[ok] = w[ok] / denom[qids][ok]
+        f_new = np.bincount(sp_pos, weights=frac, minlength=len(sp_list))
+        query_count = int((np.bincount(qids, weights=None, minlength=n_queries) > 0)[denom > 0].sum())
+        qc = int((denom > 0).sum())
+        f_new = f_new / max(qc, 1)
+        delta = np.abs(f_new - probs).sum()
+        if it > 10:
+            f_new[f_new < 1e-5] = 0.0
+        probs = f_new
+        query_count = qc
+        if delta < tol:
+            break
+
+    # EM report
+    em_counts = {int(sp_list[i]): probs[i] * query_count for i in range(len(sp_list)) if probs[i] > 0}
+    em_tax_counts = {t: int(round(c)) for t, c in em_counts.items() if c >= 0.5}
+    em_tax_counts[0] = len(records) - sum(em_tax_counts.values())
+    reporter.write_report(os.path.join(out_dir, f"{job_id}_EM_report.tsv"),
+                          em_tax_counts, len(records), tax)
+
+    # reclassify: per read, LCA of the top species reaching 0.5 posterior
+    w = w_base * probs[sp_pos]
+    denom = np.bincount(qids, weights=w, minlength=n_queries)
+    recls_counts = {}
+    recls_rows = []
+    order = np.lexsort((-w, qids))
+    qs, ws_, ss_ = qids[order], w[order], sps[order]
+    boundaries = np.searchsorted(qs, np.arange(n_queries + 1))
+    for qi in range(n_queries):
+        lo, hi = boundaries[qi], boundaries[qi + 1]
+        if lo == hi or denom[qi] <= 0:
+            continue
+        probs_q = ws_[lo:hi] / denom[qi]
+        cum = 0.0
+        cands = []
+        for j in range(len(probs_q)):
+            if cum >= 0.5:
+                break
+            cum += probs_q[j]
+            cands.append(int(ss_[lo + j]))
+        t = tax.lca_list(cands)
+        recls_rows.append((qi, t, float(cum)))
+        recls_counts[t] = recls_counts.get(t, 0) + 1
+    recls_counts[0] = len(records) - sum(recls_counts.values())
+    reporter.write_report(os.path.join(out_dir, f"{job_id}_EM+reclassify_report.tsv"),
+                          recls_counts, len(records), tax)
+
+    with open(os.path.join(out_dir, f"{job_id}_EM+reclassify_results.tsv"), "w") as f:
+        f.write("#is_classified\tname\ttaxID\tquery_length\tscore\trank\n")
+        by_q = {qi: (t, sc) for qi, t, sc in recls_rows}
+        for qi, qr in enumerate(records):
+            t, sc = by_q.get(qi, (0, 0.0))
+            if t:
+                f.write(f"1\t{qr.name}\t{tax.orig_of(t)}\t{qr.total_length}\t{sc:.4g}\t{tax.rank_of(t)}\n")
+            else:
+                f.write(f"0\t{qr.name}\t0\t{qr.total_length}\t0\t-\n")
+    print(f"EM re-estimation complete ({len(sp_list)} species, {query_count} mapped reads)")

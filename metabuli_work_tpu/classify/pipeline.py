@@ -1,0 +1,215 @@
+"""End-to-end classification pipeline (host orchestration + device kernels).
+
+Mirrors Classifier::startClassify (reference src/commons/Classifier.cpp:
+44-164) with the stage boundaries moved to host<->device transfers:
+
+  host: FASTQ/FASTA decode -> padded uint8 batches
+  device: 6-frame metamer extraction (ops/encode_jax.py)
+  device: sorted-index probe + hamming filter (ops/match_jax.py)
+  host: match compaction + total-order sort (classify/taxonomer.py)
+  host: per-read scoring/assignment + reporting
+
+The reference's match-buffer-overflow retry (matchPerKmer += 4 and re-run,
+Classifier.cpp:127-131) becomes candidate-cap doubling per batch: the
+match kernel reports how many candidates were dropped, and the batch is
+re-probed with a larger static cap until exact.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..index.format import KmerIndex, load_index
+from ..io.fasta import read_seq_file
+from ..ops import encode_jax, match_jax
+from ..ops import mask as mask_ops
+from .taxonomer import MATCH_DTYPE, ReadResult, Taxonomer, sort_matches
+
+
+@dataclass
+class ClassifyParams:
+    seq_mode: int = 2              # 1 single, 2 paired, 3 long
+    min_score: float = 0.0
+    min_sp_score: float = 0.0
+    min_cons_cnt: int = 4
+    min_cons_cnt_euk: int = 9
+    tie_ratio: float = 0.95
+    mask_mode: int = 0
+    mask_prob: float = 0.9
+    accession_level: int = 0
+    em: bool = False
+    batch_size: int = 512
+    max_cap: int = 4096
+    long_read_chunk: int = 3072    # long reads processed whole up to bucket cap
+
+
+@dataclass
+class QueryRecord:
+    name: str
+    length1: int
+    length2: int = 0
+    result: Optional[ReadResult] = None
+
+    @property
+    def total_length(self):
+        return self.length1 + self.length2
+
+
+def _bucket_len(n: int, quantum: int = 96) -> int:
+    return max(quantum, quantum * math.ceil(n / quantum))
+
+
+class Classifier:
+    def __init__(self, db_dir, params: ClassifyParams):
+        import jax.numpy as jnp
+
+        self.params = params
+        self.index: KmerIndex = load_index(db_dir)
+        self.taxonomy = self.index.taxonomy
+        meta = self.index.meta
+        self.kmer_format = int(meta.get("kmer_format", 2))
+        self.syncmer = bool(meta.get("syncmer", False))
+        self.smer_len = int(meta.get("smer_len", 5))
+        self.db_values = jnp.asarray(self.index.values)
+        self.db_taxids = jnp.asarray(self.index.taxids.astype(np.int32))
+        self.db_species = jnp.asarray(self.index.species.astype(np.int32))
+        self.cap = int(min(max(self.index.max_aa_run(), 8), params.max_cap))
+        self.taxonomer = Taxonomer(
+            self.taxonomy,
+            kmer_format=self.kmer_format,
+            syncmer=self.syncmer,
+            smer_len=self.smer_len,
+            seq_mode=params.seq_mode,
+            min_score=params.min_score,
+            min_sp_score=params.min_sp_score,
+            min_cons_cnt=params.min_cons_cnt,
+            min_cons_cnt_euk=params.min_cons_cnt_euk,
+            tie_ratio=params.tie_ratio,
+            accession_level=params.accession_level,
+            em=params.em,
+        )
+        self.total_match_cnt = 0
+
+    # ------------------------------------------------------------------ #
+    def _read_batches(self, path1, path2=None) -> Iterator[tuple]:
+        """Yield (names, seqs1, seqs2|None) lists of batch_size reads."""
+        it1 = read_seq_file(path1)
+        it2 = read_seq_file(path2) if path2 else None
+        B = self.params.batch_size
+        names, s1, s2 = [], [], []
+        for rec1 in it1:
+            rec2 = next(it2) if it2 else None
+            names.append(rec1.name)
+            s1.append(rec1.seq)
+            s2.append(rec2.seq if rec2 else None)
+            if len(names) == B:
+                yield names, s1, s2
+                names, s1, s2 = [], [], []
+        if names:
+            yield names, s1, s2
+
+    def _pad_batch(self, seqs: List[str]):
+        lmax = _bucket_len(max((len(s) for s in seqs), default=1))
+        B = len(seqs)
+        arr = np.full((B, lmax), ord("N"), dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int32)
+        for i, s in enumerate(seqs):
+            if self.params.mask_mode:
+                s = mask_ops.mask_low_complexity(s, self.params.mask_prob)
+            b = s.encode("ascii", "replace")[:lmax]
+            arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            lens[i] = len(b)
+        return arr, lens
+
+    # ------------------------------------------------------------------ #
+    def _extract(self, seqs, pos_offsets=None):
+        import jax.numpy as jnp
+
+        arr, lens = self._pad_batch(seqs)
+        kmers, pos, valid = encode_jax.extract_batch(
+            jnp.asarray(arr), jnp.asarray(lens), syncmer=self.syncmer, smer_len=self.smer_len
+        )
+        if pos_offsets is not None:
+            pos = pos + jnp.asarray(pos_offsets, dtype=jnp.int32)[:, None, None]
+        return kmers, pos, valid, lens
+
+    def _probe(self, q_kmers, q_frames, q_valid, cap):
+        return match_jax.match_kmers(
+            q_kmers, q_frames, q_valid,
+            self.db_values, self.db_taxids, self.db_species,
+            cap=cap, kmer_format=self.kmer_format,
+        )
+
+    def classify_batch(self, names, seqs1, seqs2=None):
+        """Classify one batch; returns list of QueryRecord with results."""
+        import jax.numpy as jnp
+
+        B = len(names)
+        seq_ids = jnp.arange(1, B + 1, dtype=jnp.int32)
+
+        k1, p1, v1, l1 = self._extract(seqs1)
+        fk1 = encode_jax.flatten_batch(k1, p1, v1, seq_ids)
+        parts = [fk1]
+        l2 = None
+        if seqs2 is not None and any(s is not None for s in seqs2):
+            # mate-2 positions are offset by len1 + 3 (KmerExtractor.cpp:341-345)
+            offs = np.asarray(l1, dtype=np.int32) + 3
+            k2, p2, v2, l2arr = self._extract(seqs2, pos_offsets=offs)
+            l2 = l2arr
+            parts.append(encode_jax.flatten_batch(k2, p2, v2, seq_ids))
+
+        q_kmers = jnp.concatenate([p[0] for p in parts])
+        q_pos = jnp.concatenate([p[1] for p in parts])
+        q_frames = jnp.concatenate([p[2] for p in parts])
+        q_sids = jnp.concatenate([p[3] for p in parts])
+        q_valid = jnp.concatenate([p[4] for p in parts])
+
+        cap = self.cap
+        while True:
+            out = self._probe(q_kmers, q_frames, q_valid, cap)
+            if int(out["overflow"]) == 0 or cap >= self.index.max_aa_run():
+                break
+            cap = min(cap * 2, self.index.max_aa_run())
+        self.cap = max(self.cap, cap)
+
+        sel = np.asarray(out["sel"])
+        rows, cols = np.nonzero(sel)
+        m = np.zeros(len(rows), dtype=MATCH_DTYPE)
+        m["qid"] = np.asarray(q_sids)[rows]
+        m["pos"] = np.asarray(q_pos)[rows]
+        m["frame"] = np.asarray(q_frames)[rows]
+        m["taxid"] = np.asarray(out["taxid"])[rows, cols]
+        m["species"] = np.asarray(out["species"])[rows, cols]
+        m["dna"] = np.asarray(out["dna_enc"])[rows, cols].astype(np.uint32)
+        m["rh"] = np.asarray(out["rh"])[rows, cols].astype(np.uint16)
+        m["ham"] = np.asarray(out["hamming"])[rows, cols].astype(np.uint8)
+        self.total_match_cnt += len(m)
+
+        m = sort_matches(m)
+        results = []
+        lens1 = np.asarray(l1)
+        lens2 = np.asarray(l2) if l2 is not None else np.zeros(B, dtype=np.int32)
+        bounds = np.searchsorted(m["qid"], np.arange(1, B + 2))
+        for i in range(B):
+            qr = QueryRecord(names[i], int(lens1[i]), int(lens2[i]))
+            mm = m[bounds[i]:bounds[i + 1]]
+            if len(mm):
+                qr.result = self.taxonomer.classify_read(mm, qr.total_length)
+            else:
+                qr.result = ReadResult()
+            results.append(qr)
+        return results
+
+    # ------------------------------------------------------------------ #
+    def classify_file(self, path1, path2=None, progress=None):
+        all_results = []
+        done = 0
+        for names, s1, s2 in self._read_batches(path1, path2 if self.params.seq_mode == 2 else None):
+            res = self.classify_batch(names, s1, s2 if self.params.seq_mode == 2 else None)
+            all_results.extend(res)
+            done += len(res)
+            if progress:
+                progress(done)
+        return all_results

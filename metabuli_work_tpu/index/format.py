@@ -1,0 +1,148 @@
+"""On-disk database layout (native) + reference-format export/import.
+
+Native layout (directory):
+  db.meta.json     build parameters & stats (the reference's db.parameters
+                   handshake, common.cpp:88-133 — classify re-applies these)
+  kmers.npy        uint64 sorted metamer values
+  infos.npy        int32 LCA taxid per entry (internal id space)
+  species.npy      int32 species ancestor per entry
+  taxonomy.npz     serialized Taxonomy (replaces mmap'd taxonomyDB blob)
+  taxID_list       text, one internal taxid per line (reference parity)
+  acc2taxid.map    accession\toriginal-taxid
+
+Reference layout interop (diffIdx/info/split; Appendix A.1 of SURVEY.md):
+  export_reference_format / import_reference_format re/de-code the exact
+  byte formats so DBs can be diffed k-mer-for-k-mer against the C++ build
+  (encode IndexCreator.cpp:868-886; split writer IndexCreator.cpp:811-866;
+  info redundancy bit KmerMatcher.cpp:204-205).
+"""
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..taxonomy import Taxonomy
+from .delta import decode_deltas, encode_deltas
+
+DB_META_NAME = "db.meta.json"
+SPLIT_NUM = 4096  # reference workflow/build.cpp:20
+
+
+@dataclass
+class KmerIndex:
+    values: np.ndarray       # uint64 sorted
+    taxids: np.ndarray       # int32 internal
+    species: np.ndarray      # int32 internal
+    taxonomy: Taxonomy
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def size(self):
+        return len(self.values)
+
+    def max_aa_run(self) -> int:
+        """Longest run of equal amino-acid parts (sizes the match cap)."""
+        if self.size == 0:
+            return 1
+        aa = self.values >> np.uint64(24)
+        change = np.nonzero(aa[1:] != aa[:-1])[0]
+        if len(change) == 0:
+            return self.size
+        runs = np.diff(np.concatenate([[-1], change, [self.size - 1]]))
+        return int(runs.max())
+
+
+def save_index(db_dir, index: KmerIndex, extra_meta=None):
+    os.makedirs(db_dir, exist_ok=True)
+    np.save(os.path.join(db_dir, "kmers.npy"), index.values)
+    np.save(os.path.join(db_dir, "infos.npy"), index.taxids.astype(np.int32))
+    np.save(os.path.join(db_dir, "species.npy"), index.species.astype(np.int32))
+    index.taxonomy.save(os.path.join(db_dir, "taxonomy.npz"))
+    with open(os.path.join(db_dir, "taxID_list"), "w") as f:
+        for t in np.unique(index.taxids):
+            f.write(f"{int(t)}\n")
+    meta = dict(index.meta)
+    meta.setdefault("creation_date", time.strftime("%Y-%m-%d"))
+    meta["kmer_count"] = int(index.size)
+    meta["max_aa_run"] = index.max_aa_run()
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(os.path.join(db_dir, DB_META_NAME), "w") as f:
+        json.dump(meta, f, indent=2)
+    # db.parameters for reference-tooling compatibility
+    with open(os.path.join(db_dir, "db.parameters"), "w") as f:
+        f.write(f"DB_name\t{meta.get('db_name', os.path.basename(str(db_dir)))}\n")
+        f.write(f"Creation_date\t{meta['creation_date']}\n")
+        f.write(f"Reduced_alphabet\t{meta.get('reduced_aa', 0)}\n")
+        f.write(f"Accession_level\t{meta.get('accession_level', 0)}\n")
+        f.write(f"Mask_mode\t{meta.get('mask_mode', 0)}\n")
+        f.write(f"Mask_prob\t{meta.get('mask_prob', 0.9)}\n")
+        f.write(f"Skip_redundancy\t{meta.get('skip_redundancy', 1)}\n")
+        f.write(f"Syncmer\t{int(meta.get('syncmer', 0))}\n")
+        f.write(f"Syncmer_len\t{meta.get('smer_len', 5)}\n")
+        f.write(f"Kmer_format\t{meta.get('kmer_format', 2)}\n")
+
+
+def load_index(db_dir) -> KmerIndex:
+    with open(os.path.join(db_dir, DB_META_NAME)) as f:
+        meta = json.load(f)
+    values = np.load(os.path.join(db_dir, "kmers.npy"))
+    taxids = np.load(os.path.join(db_dir, "infos.npy"))
+    species = np.load(os.path.join(db_dir, "species.npy"))
+    taxonomy = Taxonomy.load(os.path.join(db_dir, "taxonomy.npz"))
+    return KmerIndex(values, taxids, species, taxonomy, meta)
+
+
+# --------------------------------------------------------------------- #
+# reference-format interop
+# --------------------------------------------------------------------- #
+def export_reference_format(db_dir, index: KmerIndex):
+    """Write diffIdx/info/split alongside the native files."""
+    chunks = encode_deltas(index.values)
+    chunks.astype("<u2").tofile(os.path.join(db_dir, "diffIdx"))
+    index.taxids.astype("<u4").tofile(os.path.join(db_dir, "info"))
+
+    # split checkpoints: SPLIT_NUM records; entry 0 zero; checkpoints at
+    # ~equal info spacing aligned to AA-part boundaries.
+    n = index.size
+    rec = np.zeros(SPLIT_NUM, dtype=[("ADkmer", "<u8"), ("diffIdxOffset", "<u8"), ("infoIdxOffset", "<u8")])
+    if n > 0:
+        # chunk count per value -> diffIdx offset of each value
+        is_end = (chunks & np.uint16(0x8000)) != 0
+        ends = np.nonzero(is_end)[0]
+        starts = np.empty_like(ends)
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+        aa = index.values >> np.uint64(24)
+        boundaries = np.concatenate([[0], np.nonzero(aa[1:] != aa[:-1])[0] + 1])
+        per = max(n // SPLIT_NUM, 1)
+        written = 1
+        for k in range(1, SPLIT_NUM):
+            target = k * per
+            if target >= n or written >= SPLIT_NUM:
+                break
+            # first AA boundary at or after target
+            j = int(np.searchsorted(boundaries, target, side="left"))
+            if j >= len(boundaries):
+                break
+            i = int(boundaries[j])
+            if i == 0 or i >= n:
+                continue
+            rec[written] = (index.values[i - 1], starts[i], i)
+            written += 1
+    with open(os.path.join(db_dir, "split"), "wb") as f:
+        rec.tofile(f)
+
+
+def import_reference_format(db_dir, taxonomy: Taxonomy, meta=None) -> KmerIndex:
+    """Read a reference diffIdx/info pair into the native in-memory index."""
+    chunks = np.fromfile(os.path.join(db_dir, "diffIdx"), dtype="<u2")
+    infos = np.fromfile(os.path.join(db_dir, "info"), dtype="<u4")
+    values = decode_deltas(chunks)
+    taxids = (infos & np.uint32(0x7FFFFFFF)).astype(np.int32)
+    species = taxonomy.species_of(taxids).astype(np.int32)
+    species = np.where(species == 0, taxids, species).astype(np.int32)
+    return KmerIndex(values, taxids, species, taxonomy, meta or {})

@@ -1,0 +1,175 @@
+"""Batched 6-frame metamer extraction as a JAX kernel.
+
+TPU-first design: a batch of reads arrives as a padded uint8 ASCII tensor
+``[B, Lmax]`` plus lengths; the whole extraction is table gathers, shifts
+and masks over ``[B, W]`` lanes — no per-base control flow.  Windows that
+touch an N (or fall beyond a read's usable length) are masked instead of
+skipped, which is the vectorized equivalent of the reference scanner's
+restart-after-N loop (reference src/commons/KmerScanner.h:82-117; oracle
+semantics pinned in ops/encode_np.py and tests/test_encode.py).
+
+Output layout: ``[B, 6, W]`` metamer values + positions + validity mask,
+where ``W = Lmax//3 - 7`` window slots per frame.  Fixed shapes keep XLA
+happy; the mask rides along into the match kernel.
+"""
+
+import functools
+
+from . import _jax_setup  # noqa: F401  (must precede jax.numpy use of u64)
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .genetic_code import CODON2AA, CODON2NUM, COMP_CODE, KMER_LEN, NUC_CODE
+
+_U64 = jnp.uint64
+_NUC_CODE = jnp.asarray(NUC_CODE)
+_COMP_CODE = jnp.asarray(COMP_CODE)
+_CODON2AA = jnp.asarray(CODON2AA)
+_CODON2NUM = jnp.asarray(CODON2NUM)
+
+
+def max_windows(l_max: int, k: int = KMER_LEN) -> int:
+    """Window slots per frame for reads padded to l_max."""
+    return max(l_max // 3 - k + 1, 0)
+
+
+def _used_len(lengths):
+    """maxCoveredLength, branch-free (reference LocalUtil.h:50-59)."""
+    rem = lengths % 3
+    sub = jnp.where(rem == 2, 2, jnp.where(rem == 1, 4, 3))
+    return lengths - sub
+
+
+@functools.partial(jax.jit, static_argnames=("syncmer", "smer_len"))
+def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5):
+    """Extract metamers for a batch of reads.
+
+    Args:
+      reads: uint8 [B, Lmax] ASCII bases (padding value irrelevant).
+      lengths: int32 [B] true read lengths.
+      syncmer: apply open-syncmer selection on the AA part.
+      smer_len: s-mer length for syncmer selection.
+
+    Returns:
+      kmers  uint64 [B, 6, W] metamer values (garbage where invalid),
+      pos    int32  [B, 6, W] query coordinates (reference formulas),
+      valid  bool   [B, 6, W].
+    """
+    B, Lmax = reads.shape
+    k = KMER_LEN
+    W = max_windows(Lmax, k)
+    aa_max = W + k - 1  # codons needed per frame
+
+    codes = _NUC_CODE[reads]                      # [B, Lmax] 3-bit codes
+    rc = _COMP_CODE[codes[:, ::-1]]               # [B, Lmax] reverse-complement
+
+    used = _used_len(lengths)                     # [B]
+    aa_len = used // 3                            # [B]
+    n_win = aa_len - (k - 1)                      # [B] valid windows per frame
+
+    j = jnp.arange(aa_max, dtype=jnp.int32)       # codon index within frame
+
+    def frame_codons(frame):
+        fwd = frame < 3
+        if fwd:
+            begin = jnp.full_like(lengths, frame % 3)
+            base = codes
+            start = begin                          # codon 0 offset in `base`
+        else:
+            begin = (lengths % 3 - frame % 3) % 3
+            seq_end = begin + used - 1
+            # rc array index of forward-equivalent codon 0:
+            start = Lmax - 1 - seq_end
+            base = rc
+        p = start[:, None] + 3 * j[None, :]        # [B, aa_max]
+        p = jnp.clip(p, 0, Lmax - 3)               # clamp; invalid tails masked later
+        c0 = jnp.take_along_axis(base, p, axis=1)
+        c1 = jnp.take_along_axis(base, p + 1, axis=1)
+        c2 = jnp.take_along_axis(base, p + 2, axis=1)
+        cidx = (c0.astype(jnp.int32) << 6) | (c1.astype(jnp.int32) << 3) | c2.astype(jnp.int32)
+        aa = _CODON2AA[cidx]                       # [B, aa_max] uint8
+        num = _CODON2NUM[cidx]
+        cvalid = (aa <= 20) & (j[None, :] < aa_len[:, None])
+        return aa, num, cvalid, begin
+
+    def pack_windows(vals, bits):
+        # vals [B, aa_max] small ints -> [B, W] packed u64 windows
+        v = vals.astype(_U64)
+        out = jnp.zeros((B, W), dtype=_U64)
+        for t in range(k):
+            out = out | (v[:, t : t + W] << _U64(bits * (k - 1 - t)))
+        return out
+
+    kmers_all, pos_all, valid_all = [], [], []
+    widx = jnp.arange(W, dtype=jnp.int32)
+    for frame in range(6):
+        aa, num, cvalid, begin = frame_codons(frame)
+        aa_m = jnp.where(cvalid, aa, 0)
+        num_m = jnp.where(cvalid, num, 0)
+        aa_part = pack_windows(aa_m, 5)
+        dna_part = pack_windows(num_m, 3)
+        kmers = (aa_part << _U64(24)) | dna_part
+
+        # window validity: all k codons valid AND window in range
+        wv = jnp.ones((B, W), dtype=bool)
+        for t in range(k):
+            wv = wv & cvalid[:, t : t + W]
+        wv = wv & (widx[None, :] < n_win[:, None])
+
+        if syncmer:
+            wv = wv & _syncmer_mask_batch(aa_m, cvalid, W, k, smer_len)
+
+        if frame < 3:
+            pos = begin[:, None] + 3 * widx[None, :]
+        else:
+            seq_end = begin + used - 1
+            pos = seq_end[:, None] - 3 * (widx[None, :] + k) + 1
+
+        kmers_all.append(kmers)
+        pos_all.append(pos.astype(jnp.int32))
+        valid_all.append(wv)
+
+    return (
+        jnp.stack(kmers_all, axis=1),
+        jnp.stack(pos_all, axis=1),
+        jnp.stack(valid_all, axis=1),
+    )
+
+
+def _syncmer_mask_batch(aa_m, cvalid, W, k, s):
+    """Open-syncmer anchor test per window, batched.
+
+    Keep window w iff the leftmost-minimal s-mer among offsets 0..k-s sits
+    at offset 0 or k-s (reference SyncmerScanner.h:70-90).
+    """
+    B = aa_m.shape[0]
+    n_sm_per_win = k - s + 1
+    n_smer = W + n_sm_per_win - 1
+    sm = jnp.zeros((B, n_smer), dtype=_U64)
+    v = aa_m.astype(_U64)
+    for t in range(s):
+        sm = sm | (v[:, t : t + n_smer] << _U64(5 * (s - 1 - t)))
+    # leftmost argmin over the window's s-mers
+    best = jnp.full((B, W), jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    arg = jnp.zeros((B, W), dtype=jnp.int32)
+    for o in range(n_sm_per_win):
+        cand = sm[:, o : o + W]
+        better = cand < best
+        best = jnp.where(better, cand, best)
+        arg = jnp.where(better, o, arg)
+    return (arg == 0) | (arg == k - s)
+
+
+def flatten_batch(kmers, pos, valid, seq_ids):
+    """[B,6,W] tensors -> flat per-kmer arrays with frame/read annotation.
+
+    seq_ids: int32 [B] 1-based read ids (0 is the reference's blank
+    sentinel, QueryKmerInfo at src/commons/Kmer.h:11-16).
+    Returns flat (kmers, pos, frame, seq_id, valid) each [B*6*W].
+    """
+    B, F, W = kmers.shape
+    frame = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :, None], (B, F, W))
+    sid = jnp.broadcast_to(seq_ids[:, None, None], (B, F, W))
+    flat = lambda x: x.reshape(B * F * W)
+    return flat(kmers), flat(pos), flat(frame), flat(sid), flat(valid)

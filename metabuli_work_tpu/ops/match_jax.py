@@ -1,0 +1,113 @@
+"""Index probe + candidate hamming filter — the hot match kernel.
+
+TPU-native replacement for the reference's two-pointer merge over a
+delta-encoded stream (reference src/commons/KmerMatcher.cpp:251-466):
+the DB here is a *sorted uint64 array* resident in device memory, and the
+probe is a batched ``searchsorted`` on the 40-bit amino-acid part followed
+by a bounded candidate gather and a vectorized per-codon hamming filter
+(reference compareDna, src/commons/KmerMatcher.cpp:1117-1146).
+
+Equivalence notes:
+* the reference memoizes candidate lists across equal AA parts; with
+  independent binary searches every query slot simply recomputes the same
+  run bounds, so results are identical.
+* candidate selection keeps hamming <= min(2*minHamming, 7) among the
+  candidates of the same AA run (KmerMatcher.cpp:1136).
+* per-codon 2-bit hamming packing follows getHammings/getHammings_reverse
+  (KmerMatcher.h:386-416): codon i (from the k-mer's low bits) lands in
+  2-bit field i (forward) or 7-i (reverse); values are mod-4 truncations
+  of the full per-codon distance.
+"""
+
+import functools
+
+from . import _jax_setup  # noqa: F401  (must precede jax.numpy use of u64)
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .genetic_code import HAMMING_TABLE, KMER_LEN
+
+_HAMMING = jnp.asarray(HAMMING_TABLE.astype(np.int32))
+_U64 = jnp.uint64
+DNA_BITS = 24
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "kmer_format"))
+def match_kmers(
+    q_kmers,
+    q_frames,
+    q_valid,
+    db_values,
+    db_taxids,
+    db_species,
+    cap: int = 64,
+    kmer_format: int = 2,
+):
+    """Probe sorted DB with query metamers.
+
+    Args:
+      q_kmers: uint64 [N] query metamers.
+      q_frames: int32 [N] frame (0-5).
+      q_valid: bool [N].
+      db_values: uint64 [M] sorted metamer values.
+      db_taxids: int32 [M] LCA taxid per entry (internal id space).
+      db_species: int32 [M] species ancestor of the taxid.
+      cap: max candidates gathered per query (overflow reported).
+      kmer_format: 1 (old) flips the forward/reverse hamming packing
+        (reference KmerMatcher.cpp:1140-1142).
+
+    Returns dict of [N, cap] arrays: sel (bool), hamming (int32 sum),
+    rh (int32, 16-bit packed per-codon), taxid, species, dna_enc (int32,
+    target 24-bit DNA part), plus overflow (int32 scalar, dropped
+    candidates due to cap).
+    """
+    dna_mask = _U64((1 << DNA_BITS) - 1)
+    db_aa = db_values >> _U64(DNA_BITS)
+    q_aa = q_kmers >> _U64(DNA_BITS)
+
+    lo = jnp.searchsorted(db_aa, q_aa, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(db_aa, q_aa, side="right").astype(jnp.int32)
+    run = hi - lo
+    overflow = jnp.sum(jnp.where(q_valid, jnp.maximum(run - cap, 0), 0))
+
+    offs = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(lo[:, None] + offs, 0, db_values.shape[0] - 1)
+    cmask = (offs < run[:, None]) & q_valid[:, None]
+
+    t_vals = db_values[idx]
+    t_dna = (t_vals & dna_mask).astype(jnp.int32)
+    q_dna = (q_kmers & dna_mask).astype(jnp.int32)[:, None]
+
+    hsum = jnp.zeros_like(t_dna)
+    rh_fwd = jnp.zeros_like(t_dna)
+    rh_rev = jnp.zeros_like(t_dna)
+    for i in range(KMER_LEN):
+        qi = (q_dna >> (3 * i)) & 7
+        ti = (t_dna >> (3 * i)) & 7
+        h = _HAMMING[(qi << 3) | ti]
+        hsum = hsum + h
+        h2 = h & 3
+        rh_fwd = rh_fwd | (h2 << (2 * i))
+        rh_rev = rh_rev | (h2 << (2 * (KMER_LEN - 1 - i)))
+
+    big = jnp.int32(255)
+    hsum_m = jnp.where(cmask, hsum, big)
+    min_h = jnp.min(hsum_m, axis=1, keepdims=True)
+    cutoff = jnp.minimum(min_h * 2, 7)
+    sel = cmask & (hsum <= cutoff)
+
+    # forward packing iff NOT ((frame < 3) XOR (kmer_format == 2))
+    fwd_frame = q_frames < 3
+    use_fwd = jnp.logical_not(jnp.logical_xor(fwd_frame, kmer_format == 2))
+    rh = jnp.where(use_fwd[:, None], rh_fwd, rh_rev)
+
+    return {
+        "sel": sel,
+        "hamming": hsum,
+        "rh": rh,
+        "taxid": db_taxids[idx],
+        "species": db_species[idx],
+        "dna_enc": t_dna,
+        "overflow": overflow,
+    }

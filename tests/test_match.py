@@ -1,0 +1,109 @@
+"""Match-kernel tests: probe + hamming filter vs a naive reference."""
+
+import numpy as np
+
+from metabuli_work_tpu.ops.genetic_code import HAMMING_TABLE
+
+rng = np.random.default_rng(3)
+
+
+def naive_hamming(q_dna, t_dna):
+    total, per = 0, []
+    for i in range(8):
+        qi = (q_dna >> (3 * i)) & 7
+        ti = (t_dna >> (3 * i)) & 7
+        h = int(HAMMING_TABLE[(qi << 3) | ti])
+        total += h
+        per.append(h)
+    return total, per  # per[i] = codon i counted from the low bits
+
+
+def naive_match(q, frame, db_values, kmer_format=2):
+    """All matches for one query kmer: (db_idx, hamming, rh) list."""
+    q_aa = q >> 24
+    cands = [(i, v) for i, v in enumerate(db_values) if (v >> 24) == q_aa]
+    if not cands:
+        return []
+    hams = []
+    for i, v in cands:
+        h, per = naive_hamming(q & 0xFFFFFF, v & 0xFFFFFF)
+        hams.append((i, h, per))
+    min_h = min(h for _, h, _ in hams)
+    cutoff = min(min_h * 2, 7)
+    out = []
+    use_fwd = not ((frame < 3) ^ (kmer_format == 2))
+    for i, h, per in hams:
+        if h <= cutoff:
+            rh = 0
+            for c in range(8):
+                field = c if use_fwd else 7 - c
+                rh |= (per[c] & 3) << (2 * field)
+            out.append((i, h, rh))
+    return out
+
+
+def test_match_kernel_vs_naive():
+    import jax.numpy as jnp
+
+    from metabuli_work_tpu.ops.match_jax import match_kmers
+
+    # small synthetic DB: a few AA runs with DNA variants
+    aa_parts = rng.integers(0, 2**40, size=50, dtype=np.uint64)
+    values = []
+    for aa in aa_parts:
+        for _ in range(int(rng.integers(1, 5))):
+            values.append((aa << np.uint64(24)) | np.uint64(rng.integers(0, 2**24)))
+    db = np.unique(np.array(values, dtype=np.uint64))
+    taxids = rng.integers(1, 100, size=len(db)).astype(np.int32)
+    species = rng.integers(1, 10, size=len(db)).astype(np.int32)
+
+    # queries: half hit existing AA parts (with perturbed dna), half random
+    qs = []
+    for _ in range(40):
+        if rng.random() < 0.7:
+            base = db[rng.integers(0, len(db))]
+            dna = np.uint64(rng.integers(0, 2**24)) if rng.random() < 0.5 else base & np.uint64(0xFFFFFF)
+            qs.append((base & ~np.uint64(0xFFFFFF)) | dna)
+        else:
+            qs.append(np.uint64(rng.integers(0, 2**64, dtype=np.uint64)))
+    q = np.array(qs, dtype=np.uint64)
+    frames = rng.integers(0, 6, size=len(q)).astype(np.int32)
+    valid = np.ones(len(q), dtype=bool)
+    valid[::7] = False
+
+    out = match_kmers(
+        jnp.asarray(q), jnp.asarray(frames), jnp.asarray(valid),
+        jnp.asarray(db), jnp.asarray(taxids), jnp.asarray(species),
+        cap=16, kmer_format=2,
+    )
+    sel = np.asarray(out["sel"])
+    ham = np.asarray(out["hamming"])
+    rh = np.asarray(out["rh"])
+    tax = np.asarray(out["taxid"])
+    assert int(np.asarray(out["overflow"])) == 0
+
+    for n in range(len(q)):
+        got = [(int(tax[n, c]), int(ham[n, c]), int(rh[n, c])) for c in np.nonzero(sel[n])[0]]
+        if not valid[n]:
+            assert got == []
+            continue
+        want = [(int(taxids[i]), h, r) for i, h, r in naive_match(int(q[n]), int(frames[n]), db.tolist())]
+        assert got == want, f"query {n}"
+
+
+def test_match_overflow_reported():
+    import jax.numpy as jnp
+
+    from metabuli_work_tpu.ops.match_jax import match_kmers
+
+    aa = np.uint64(12345)
+    db = np.sort(np.array([(aa << np.uint64(24)) | np.uint64(d) for d in range(10)], dtype=np.uint64))
+    taxids = np.arange(1, 11, dtype=np.int32)
+    species = np.ones(10, dtype=np.int32)
+    q = np.array([(aa << np.uint64(24)) | np.uint64(3)], dtype=np.uint64)
+    out = match_kmers(
+        jnp.asarray(q), jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
+        jnp.asarray(db), jnp.asarray(taxids), jnp.asarray(species),
+        cap=4, kmer_format=2,
+    )
+    assert int(np.asarray(out["overflow"])) == 6
