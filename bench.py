@@ -89,7 +89,7 @@ def main():
     import jax.numpy as jnp
 
     from metabuli_work_tpu.classify.pipeline import Classifier, ClassifyParams
-    from metabuli_work_tpu.classify.taxonomer import MATCH_DTYPE, ReadResult, sort_matches
+    from metabuli_work_tpu.classify.taxonomer import MATCH_DTYPE, ReadResult
     from metabuli_work_tpu.models.flagship import classify_step
 
     # wire a Classifier around the in-memory index (no disk round-trip)
@@ -106,9 +106,9 @@ def main():
     clf.db_taxids = jnp.asarray(index.taxids.astype(np.int32))
     clf.db_species = jnp.asarray(index.species.astype(np.int32))
     clf.cap = int(min(max(index.max_aa_run(), 8), params.max_cap))
-    from metabuli_work_tpu.classify.taxonomer import Taxonomer
-    clf.taxonomer = Taxonomer(tax, kmer_format=2, seq_mode=1,
-                              min_score=0.15, min_sp_score=0.5)
+    from metabuli_work_tpu.classify.taxonomer_vec import VectorTaxonomer
+    clf.taxonomer = VectorTaxonomer(tax, kmer_format=2, seq_mode=1,
+                                    min_score=0.15, min_sp_score=0.5)
     clf.total_match_cnt = 0
 
     names = [f"r{i}" for i in range(BATCH)]

@@ -25,7 +25,8 @@ from ..index.format import KmerIndex, load_index
 from ..io.fasta import read_seq_file
 from ..ops import encode_jax, match_jax
 from ..ops import mask as mask_ops
-from .taxonomer import MATCH_DTYPE, ReadResult, Taxonomer, sort_matches
+from .taxonomer import MATCH_DTYPE, ReadResult
+from .taxonomer_vec import VectorTaxonomer
 
 
 @dataclass
@@ -76,7 +77,7 @@ class Classifier:
         self.db_taxids = jnp.asarray(self.index.taxids.astype(np.int32))
         self.db_species = jnp.asarray(self.index.species.astype(np.int32))
         self.cap = int(min(max(self.index.max_aa_run(), 8), params.max_cap))
-        self.taxonomer = Taxonomer(
+        self.taxonomer = VectorTaxonomer(
             self.taxonomy,
             kmer_format=self.kmer_format,
             syncmer=self.syncmer,
@@ -166,6 +167,8 @@ class Classifier:
         q_sids = jnp.concatenate([p[3] for p in parts])
         q_valid = jnp.concatenate([p[4] for p in parts])
 
+        from ..ops import compact_jax
+
         cap = self.cap
         while True:
             out = self._probe(q_kmers, q_frames, q_valid, cap)
@@ -174,31 +177,25 @@ class Classifier:
             cap = min(cap * 2, self.index.max_aa_run())
         self.cap = max(self.cap, cap)
 
-        sel = np.asarray(out["sel"])
-        rows, cols = np.nonzero(sel)
-        m = np.zeros(len(rows), dtype=MATCH_DTYPE)
-        m["qid"] = np.asarray(q_sids)[rows]
-        m["pos"] = np.asarray(q_pos)[rows]
-        m["frame"] = np.asarray(q_frames)[rows]
-        m["taxid"] = np.asarray(out["taxid"])[rows, cols]
-        m["species"] = np.asarray(out["species"])[rows, cols]
-        m["dna"] = np.asarray(out["dna_enc"])[rows, cols].astype(np.uint32)
-        m["rh"] = np.asarray(out["rh"])[rows, cols].astype(np.uint16)
-        m["ham"] = np.asarray(out["hamming"])[rows, cols].astype(np.uint8)
+        # device-side pack + compact; host pulls only the match prefix,
+        # decodes with vectorized shifts, and applies compareMatches order
+        from .taxonomer import sort_matches
+
+        packed = compact_jax.compact_and_sort(out, q_pos, q_frames, q_sids)
+        k1, k2, k3, pl = compact_jax.fetch_compacted(packed)
+        m = compact_jax.decode_matches(k1, k2, k3, pl, MATCH_DTYPE)
+        m = sort_matches(m)
         self.total_match_cnt += len(m)
 
-        m = sort_matches(m)
-        results = []
         lens1 = np.asarray(l1)
         lens2 = np.asarray(l2) if l2 is not None else np.zeros(B, dtype=np.int32)
-        bounds = np.searchsorted(m["qid"], np.arange(1, B + 2))
+        qlens = np.zeros(B + 1, dtype=np.int64)
+        qlens[1:] = lens1 + lens2
+        read_results = self.taxonomer.classify_batch(m, qlens, B)
+        results = []
         for i in range(B):
             qr = QueryRecord(names[i], int(lens1[i]), int(lens2[i]))
-            mm = m[bounds[i]:bounds[i + 1]]
-            if len(mm):
-                qr.result = self.taxonomer.classify_read(mm, qr.total_length)
-            else:
-                qr.result = ReadResult()
+            qr.result = read_results[i]
             results.append(qr)
         return results
 

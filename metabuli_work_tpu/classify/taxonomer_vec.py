@@ -1,0 +1,337 @@
+"""Batch-vectorized taxonomic assignment (numpy), reference-exact.
+
+Same semantics as classify/taxonomer.py (which mirrors the reference
+src/commons/Taxonomer.cpp line-for-line) but restructured from per-read
+Python loops into whole-batch array passes:
+
+* the per-(read, species, frame) path DP becomes a sweep over pos-group
+  *ranks*: all matches whose pos-group is the r-th of its frame group
+  are relaxed together against the (r-1)-th groups, so the sequential
+  dependency is only W rounds deep (W = windows per read) while each
+  round is fully vectorized across the batch;
+* float32 accumulation order per path is preserved (score[pred] + inc
+  with inc built by the same f32 add sequence), so scores match the
+  scalar implementation bit-for-bit;
+* redundancy filtering (min-hamming per position quotient, ties -> LCA)
+  becomes grouped reductions keyed by (read, quotient);
+* only the greedy path-combination and the sub-species BFS remain as
+  small host loops over paths / taxon counts (both tiny per read).
+
+This pass structure is the blueprint for the on-device (Pallas
+segmented-scan) version; tests pin equivalence against the scalar
+oracle (tests/test_taxonomer_vec.py).
+"""
+
+from typing import Dict, List
+
+import numpy as np
+
+from .taxonomer import MatchPath, ReadResult, Taxonomer
+
+
+def _f32(x):
+    return np.float32(x)
+
+
+def _match_scores_vec(rh: np.ndarray) -> np.ndarray:
+    """Vectorized Match::getScore with reference f32 accumulation order."""
+    score = np.zeros(len(rh), dtype=np.float32)
+    for cnt in range(8):
+        h = (rh >> np.uint16(cnt * 2)) & np.uint16(3)
+        inc = np.where(h == 0, _f32(3.0), _f32(2.0) - _f32(0.5) * h.astype(np.float32))
+        score = score + inc.astype(np.float32)
+    return score
+
+
+def _score_increment_vec(rh: np.ndarray, shift: np.ndarray, max_shift: int) -> np.ndarray:
+    s = np.zeros(len(rh), dtype=np.float32)
+    for i in range(max_shift):
+        active = i < shift
+        h = (rh >> np.uint16(i * 2)) & np.uint16(3)
+        inc = np.where(h == 0, _f32(3.0), _f32(2.0) - _f32(0.5) * h.astype(np.float32))
+        s = np.where(active, s + inc.astype(np.float32), s)
+    return s
+
+
+def _ham_increment_vec(rh: np.ndarray, shift: np.ndarray, max_shift: int) -> np.ndarray:
+    s = np.zeros(len(rh), dtype=np.int64)
+    for i in range(max_shift):
+        s += np.where(i < shift, (rh >> np.uint16(i * 2)) & np.uint16(3), 0)
+    return s
+
+
+class VectorTaxonomer(Taxonomer):
+    """Drop-in Taxonomer that classifies a whole batch in array passes."""
+
+    def classify_batch(self, m: np.ndarray, query_lengths: np.ndarray,
+                       n_reads: int) -> List[ReadResult]:
+        """m: MATCH_DTYPE for the whole batch in compareMatches order;
+        query_lengths: int per 1-based read id (index 0 unused)."""
+        results = [ReadResult() for _ in range(n_reads)]
+        if len(m) == 0:
+            return results
+
+        paths = self._dp_paths(m)
+        self._assign(m, paths, query_lengths, results)
+        return results
+
+    # ------------------------------------------------------------------ #
+    def _dp_paths(self, m: np.ndarray):
+        n = len(m)
+        qid = m["qid"].astype(np.int64)
+        species = m["species"].astype(np.int64)
+        frame = m["frame"].astype(np.int64)
+        pos = m["pos"].astype(np.int64)
+        dna = m["dna"].astype(np.int64)
+        rh = m["rh"]
+
+        # frame groups (qid, species, frame) and pos groups within them
+        new_gf = np.ones(n, dtype=bool)
+        new_gf[1:] = (qid[1:] != qid[:-1]) | (species[1:] != species[:-1]) | (frame[1:] != frame[:-1])
+        gf = np.cumsum(new_gf) - 1
+        new_pg = new_gf.copy()
+        new_pg[1:] |= pos[1:] != pos[:-1]
+        pg = np.cumsum(new_pg) - 1
+
+        pg_start = np.nonzero(new_pg)[0]
+        pg_end = np.append(pg_start[1:], n)
+        pg_gf = gf[pg_start]
+        pg_pos = pos[pg_start]
+        n_pg = len(pg_start)
+
+        # pos-group rank within its frame group
+        gf_first_pg = np.zeros(gf[-1] + 1, dtype=np.int64)
+        first_pg_mask = np.ones(n_pg, dtype=bool)
+        first_pg_mask[1:] = pg_gf[1:] != pg_gf[:-1]
+        gf_first_pg[pg_gf[first_pg_mask]] = np.nonzero(first_pg_mask)[0]
+        pg_rank = np.arange(n_pg) - gf_first_pg[pg_gf]
+
+        # frame-group stats: size and #pos-groups
+        gf_size = np.bincount(gf, minlength=gf[-1] + 1)
+        gf_npg = np.bincount(pg_gf, minlength=gf[-1] + 1)
+
+        # DP state (per match)
+        score = _match_scores_vec(rh)
+        depth = np.ones(n, dtype=np.int64)
+        hamming = m["ham"].astype(np.int64)
+        start = pos.copy()
+        start_idx = np.arange(n, dtype=np.int64)
+        connected = np.zeros(n, dtype=bool)
+
+        # eligible frame groups: size > 1 (reference getBestSpeciesMatches
+        # calls getMatchPaths only then)
+        gf_ok = gf_size > 1
+
+        # per-pos-group: shift vs previous group (same gf)
+        prev_pg_same = np.zeros(n_pg, dtype=bool)
+        prev_pg_same[1:] = pg_gf[1:] == pg_gf[:-1]
+        shift_pg = np.zeros(n_pg, dtype=np.int64)
+        shift_pg[1:] = (pg_pos[1:] - pg_pos[:-1]) // 3
+        link_ok = prev_pg_same & (shift_pg > 0) & (shift_pg <= self.max_codon_shift)
+
+        pg_size = pg_end - pg_start
+        p_max = int(pg_size.max()) if n_pg else 1
+        max_rank = int(pg_rank.max()) if n_pg else 0
+
+        mask24 = np.int64((1 << 24) - 1)
+        fwd_frame = frame < 3
+
+        match_pg = pg  # per-match pos-group id
+        for r in range(1, max_rank + 1):
+            sel_pg = np.nonzero((pg_rank == r) & link_ok & gf_ok[pg_gf])[0]
+            if len(sel_pg) == 0:
+                continue
+            # expand pos-group spans to match indices (vectorized ragged)
+            cnts = pg_size[sel_pg]
+            base = np.repeat(pg_start[sel_pg], cnts)
+            offs = np.arange(cnts.sum()) - np.repeat(np.cumsum(cnts) - cnts, cnts)
+            mi = base + offs  # match indices at rank r, [K]
+            gpi = np.repeat(sel_pg, cnts)  # their pos-group ids
+
+            prev = gpi - 1
+            p_lo = pg_start[prev]
+            p_cnt = pg_size[prev]
+            sh = shift_pg[gpi]
+
+            # candidate predecessors [K, p_max]
+            pc = np.arange(p_max)[None, :]
+            pidx = p_lo[:, None] + pc
+            pmask = pc < p_cnt[:, None]
+            pidx = np.minimum(pidx, n - 1)
+
+            nd = dna[mi][:, None]
+            cd = dna[pidx]
+            shk = sh[:, None]
+            m24 = (np.int64(1) << (np.int64(24) - 3 * shk)) - 1
+            fwd = fwd_frame[mi][:, None]
+            if self.kmer_format == 2:
+                a = np.where(fwd, cd, nd)
+                b = np.where(fwd, nd, cd)
+                ok = (a & m24) == (b >> (3 * shk))
+            else:
+                a = np.where(fwd, cd, nd)
+                b = np.where(fwd, nd, cd)
+                ok = (a >> (3 * shk)) == (b & m24)
+            ok &= pmask
+
+            # connected |= any(ok) per predecessor
+            np.logical_or.at(connected, pidx[ok], True)
+
+            any_ok = ok.any(axis=1)
+            pscore = np.where(ok, score[pidx], -np.inf)
+            best_c = np.argmax(pscore, axis=1)  # first max (reference order)
+            bp = pidx[np.arange(len(mi)), best_c]
+
+            inc = _score_increment_vec(rh[mi], sh, self.max_codon_shift)
+            hinc = _ham_increment_vec(rh[mi], sh, self.max_codon_shift)
+
+            score[mi] = np.where(any_ok, (score[bp] + inc).astype(np.float32), score[mi])
+            depth[mi] = np.where(any_ok, depth[bp] + sh, depth[mi])
+            hamming[mi] = np.where(any_ok, hamming[bp] + hinc, hamming[mi])
+            start[mi] = np.where(any_ok, start[bp], start[mi])
+            start_idx[mi] = np.where(any_ok, start_idx[bp], start_idx[mi])
+
+        # emission
+        next_pg_same = np.zeros(n_pg, dtype=bool)
+        next_pg_same[:-1] = pg_gf[:-1] == pg_gf[1:]
+        is_last_pg = ~next_pg_same
+
+        # min depth per match: euk species get min_cons_cnt_euk
+        min_depth = np.full(n, self.min_cons_cnt, dtype=np.int64)
+        if self.euk_id:
+            uniq_sp = np.unique(species)
+            euk_sp = uniq_sp[np.asarray(self.taxonomy.is_ancestor(self.euk_id, uniq_sp)).reshape(-1)]
+            if len(euk_sp):
+                min_depth[np.isin(species, euk_sp)] = self.min_cons_cnt_euk
+
+        emit = (gf_npg[gf] >= 2) & (depth >= min_depth) & (is_last_pg[match_pg] | ~connected)
+        emit &= gf_ok[gf]
+
+        idx = np.nonzero(emit)[0]
+        return {
+            "idx": idx,
+            "start": start[idx],
+            "end": pos[idx] + 23,
+            "score": score[idx],
+            "hamming": hamming[idx],
+            "depth": depth[idx],
+            "start_idx": start_idx[idx],
+            "end_idx": idx,
+            "qid": qid[idx],
+            "species": species[idx],
+        }
+
+    # ------------------------------------------------------------------ #
+    def _assign(self, m, paths, query_lengths, results: List[ReadResult]):
+        qid = m["qid"].astype(np.int64)
+        species = m["species"].astype(np.int64)
+
+        # per-read match span
+        n_reads = len(results)
+        read_lo = np.searchsorted(qid, np.arange(1, n_reads + 2))
+
+        # species spans within reads (matches sorted by qid, species)
+        new_sp = np.ones(len(m), dtype=bool)
+        new_sp[1:] = (qid[1:] != qid[:-1]) | (species[1:] != species[:-1])
+        sp_start = np.nonzero(new_sp)[0]
+        sp_end = np.append(sp_start[1:], len(m))
+        sp_qid = qid[sp_start]
+        sp_species = species[sp_start]
+
+        # group paths by (qid, species) — paths arrive ordered by match
+        # index, which is (qid, species, frame, pos) order = species order
+        p_order = np.argsort(paths["idx"], kind="stable")
+        pq = paths["qid"][p_order]
+        ps = paths["species"][p_order]
+
+        # iterate reads that have paths
+        self._last_matches = m
+        for rid in range(1, n_reads + 1):
+            r_paths_sel = np.nonzero(pq == rid)[0]
+            res = results[rid - 1]
+            qlen = int(query_lengths[rid])
+            if len(r_paths_sel) == 0:
+                continue
+
+            sp2score = []
+            best_sp_score = _f32(0.0)
+            best_sp = None
+            meaningful = 0
+            # species in order of appearance
+            sp_ids = ps[r_paths_sel]
+            uniq_sp, first_pos = np.unique(sp_ids, return_index=True)
+            order = np.argsort(first_pos)
+            for sp in uniq_sp[order]:
+                psel = r_paths_sel[sp_ids == sp]
+                plist = [
+                    MatchPath(
+                        start=int(paths["start"][p_order[j]]),
+                        end=int(paths["end"][p_order[j]]),
+                        score=paths["score"][p_order[j]],
+                        hamming=int(paths["hamming"][p_order[j]]),
+                        depth=int(paths["depth"][p_order[j]]),
+                        start_idx=int(paths["start_idx"][p_order[j]]),
+                        end_idx=int(paths["end_idx"][p_order[j]]),
+                    )
+                    for j in psel
+                ]
+                sc = self._combine_paths(plist, qlen)
+                sc = min(sc, _f32(1.0))
+                if sc < self.min_score:
+                    continue
+                sp2score.append((int(sp), float(sc)))
+                if sc > 0:
+                    meaningful += 1
+                if sc > best_sp_score:
+                    best_sp_score = sc
+                    best_sp = int(sp)
+
+            if meaningful == 0:
+                continue
+
+            if self.em and sp2score:
+                sp2score.sort(key=lambda x: -x[1])
+            res.species_scores = [(s, sc * sc) for s, sc in sp2score[:10]] if self.em else []
+            if sp2score:
+                res.top_species = sp2score[0][0]
+
+            max_species = []
+            total = _f32(0.0)
+            for sp, sc in sp2score:
+                if sc >= float(best_sp_score) * self.tie_ratio:
+                    max_species.append(sp)
+                    total = total + _f32(sc)
+
+            if len(max_species) > 1:
+                lca = int(self.taxonomy.lca_list(max_species))
+                score = total / _f32(len(max_species))
+                if score == 0 or score < self.min_score:
+                    res.score = float(score)
+                    continue
+                res.is_classified = True
+                res.classification = lca
+                res.score = float(score)
+                continue
+
+            score, taxid = total, max_species[0]
+            if score == 0 or score < self.min_score:
+                res.score = float(score)
+                continue
+
+            # best species match range: all matches of (rid, best_sp)
+            srow = np.searchsorted(sp_qid * (1 << 32) + sp_species, rid * (1 << 32) + best_sp)
+            lo, hi = int(sp_start[srow]), int(sp_end[srow])
+            tax_cnt = self._filter_redundant(m[lo:hi], qlen)
+            res.tax_cnt = tax_cnt
+
+            if score < self.min_sp_score:
+                spn = int(self.taxonomy.species_of(taxid))
+                node = spn if spn else taxid
+                res.is_classified = True
+                res.classification = int(self.taxonomy.parent[node])
+                res.score = float(score)
+                continue
+
+            res.is_classified = True
+            res.score = float(score)
+            res.classification = taxid if self.em else self._lower_rank(tax_cnt, taxid, qlen)

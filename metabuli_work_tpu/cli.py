@@ -174,6 +174,71 @@ def cmd_grade(args):
     grade(args.classifications, args.answer, args.dbdir, ranks=args.ranks.split(","))
 
 
+def cmd_filter(args):
+    from .classify.filter import filter_reads
+    from .classify.pipeline import ClassifyParams
+
+    params = ClassifyParams(
+        seq_mode=args.seq_mode, min_score=args.min_score,
+        min_sp_score=args.min_sp_score, batch_size=args.batch_size,
+    )
+    with open(args.contam_list) as f:
+        dbs = [ln.strip() for ln in f if ln.strip()]
+    filter_reads(args.reads1, dbs, args.outdir, args.jobid, params, args.reads2)
+
+
+def cmd_refiner(args):
+    from .report.refiner import refine
+
+    refine(
+        args.classifications, args.dbdir, args.output,
+        min_score=args.min_score,
+        include_taxids=[int(t) for t in args.include.split(",") if t],
+        exclude_taxids=[int(t) for t in args.exclude.split(",") if t],
+        rank=args.rank,
+    )
+
+
+def cmd_update_db(args):
+    from .index.update import update_database
+
+    index = update_database(args.olddb, args.newdb, args.fasta_list,
+                            args.acc2taxid, args.new_taxa, args.max_ram)
+    print(f"Updated DB written: {index.size} k-mers")
+
+
+def cmd_common_kmer(args):
+    from .index.common import build_common_kmer_db
+
+    build_common_kmer_db(args.dbdir, args.fasta_list, args.acc2taxid,
+                         args.taxonomy_dir, k=args.kmer_len,
+                         syncmer=bool(args.syncmer), smer_len=args.smer_len)
+
+
+def cmd_grouping(args):
+    from .readgroup.grouping import GroupingParams, run_grouping
+
+    params = GroupingParams(
+        syncmer=bool(args.syncmer), smer_len=args.smer_len,
+        min_edge_weight=args.min_edge, num_iterations=args.num_iteration,
+        convergence_threshold=args.convergence_thr,
+        neighbor_kmers=args.neighbor_kmers, seq_mode=args.seq_mode,
+    )
+    run_grouping(args.reads1, args.commondb, args.outdir, params, args.reads2)
+
+
+def cmd_apply_group(args):
+    from .readgroup.apply import ApplyParams, apply_groups
+
+    params = ApplyParams(
+        weight_mode=args.weight_mode, min_vote_score=args.min_vote_score,
+        score_col=args.score_col, read_id_col=args.readid_col,
+        taxid_col=args.taxid_col,
+    )
+    apply_groups(args.groups, args.group_map, args.taxdb, args.org_results,
+                 args.outdir, params)
+
+
 def cmd_taxdump(args):
     from .taxonomy import Taxonomy
 
@@ -254,6 +319,73 @@ def main(argv=None):
     p.add_argument("dbdir")
     p.add_argument("--ranks", default="species,genus,family,order,class,phylum")
     p.set_defaults(func=cmd_grade)
+
+    p = sub.add_parser("filter", help="remove contaminant reads")
+    p.add_argument("reads1")
+    p.add_argument("reads2", nargs="?", default=None)
+    p.add_argument("outdir")
+    p.add_argument("jobid")
+    p.add_argument("--contam-list", required=True,
+                   help="file listing contaminant DB directories")
+    _add_classify_args(p)
+    p.set_defaults(func=cmd_filter)
+
+    p = sub.add_parser("classifiedRefiner", help="filter/reshape classification TSV")
+    p.add_argument("classifications")
+    p.add_argument("dbdir")
+    p.add_argument("--output", default=None)
+    p.add_argument("--min-score", type=float, default=0.0)
+    p.add_argument("--include", default="", help="comma-separated taxids to keep (subtrees)")
+    p.add_argument("--exclude", default="", help="comma-separated taxids to drop (subtrees)")
+    p.add_argument("--rank", default="", help="collapse assignments to this rank")
+    p.set_defaults(func=cmd_refiner)
+
+    p = sub.add_parser("updateDB", help="add sequences to an existing database")
+    p.add_argument("newdb")
+    p.add_argument("olddb")
+    p.add_argument("fasta_list")
+    p.add_argument("acc2taxid")
+    p.add_argument("--new-taxa", default=None,
+                   help="TSV of new taxa: taxid, parent, rank, name")
+    p.add_argument("--max-ram", type=float, default=32.0)
+    p.set_defaults(func=cmd_update_db)
+
+    p = sub.add_parser("create-common-kmer-list", help="build shared-k-mer DB for grouping")
+    p.add_argument("dbdir")
+    p.add_argument("fasta_list")
+    p.add_argument("acc2taxid")
+    p.add_argument("--taxonomy-dir", required=True)
+    p.add_argument("--kmer-len", type=int, default=12)
+    p.add_argument("--syncmer", type=int, default=0)
+    p.add_argument("--smer-len", type=int, default=5)
+    p.set_defaults(func=cmd_common_kmer)
+
+    p = sub.add_parser("grouping", help="cluster reads by shared k-mers")
+    p.add_argument("reads1")
+    p.add_argument("reads2", nargs="?", default=None)
+    p.add_argument("commondb", help="common-kmer DB directory")
+    p.add_argument("outdir")
+    p.add_argument("--seq-mode", type=int, default=1)
+    p.add_argument("--syncmer", type=int, default=1)
+    p.add_argument("--smer-len", type=int, default=5)
+    p.add_argument("--min-edge", type=int, default=10)
+    p.add_argument("--num-iteration", type=int, default=10)
+    p.add_argument("--convergence-thr", type=float, default=0.01)
+    p.add_argument("--neighbor-kmers", type=int, default=0)
+    p.set_defaults(func=cmd_grouping)
+
+    p = sub.add_parser("apply-group", help="propagate group labels to members")
+    p.add_argument("groups")
+    p.add_argument("group_map")
+    p.add_argument("taxdb", help="DB dir (taxonomy.npz) or taxdump dir")
+    p.add_argument("org_results", help="original classifications TSV")
+    p.add_argument("outdir")
+    p.add_argument("--weight-mode", type=int, default=1)
+    p.add_argument("--min-vote-score", type=float, default=0.15)
+    p.add_argument("--score-col", type=int, default=5)
+    p.add_argument("--readid-col", type=int, default=2)
+    p.add_argument("--taxid-col", type=int, default=3)
+    p.set_defaults(func=cmd_apply_group)
 
     p = sub.add_parser("taxdump", help="export DB taxonomy as taxdump files")
     p.add_argument("dbdir")

@@ -41,8 +41,9 @@ def _used_len(lengths):
     return lengths - sub
 
 
-@functools.partial(jax.jit, static_argnames=("syncmer", "smer_len"))
-def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5):
+@functools.partial(jax.jit, static_argnames=("syncmer", "smer_len", "k", "aa_only"))
+def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
+                  k: int = KMER_LEN, aa_only: bool = False):
     """Extract metamers for a batch of reads.
 
     Args:
@@ -50,6 +51,9 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5):
       lengths: int32 [B] true read lengths.
       syncmer: apply open-syncmer selection on the AA part.
       smer_len: s-mer length for syncmer selection.
+      k: amino acids per k-mer (8 metamer, 12 dna2aa).
+      aa_only: emit AA-only k-mers (no 24-bit DNA part) — the
+        KmerScanner_dna2aa family (reference KmerScanner.h:185-261).
 
     Returns:
       kmers  uint64 [B, 6, W] metamer values (garbage where invalid),
@@ -57,7 +61,6 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5):
       valid  bool   [B, 6, W].
     """
     B, Lmax = reads.shape
-    k = KMER_LEN
     W = max_windows(Lmax, k)
     aa_max = W + k - 1  # codons needed per frame
 
@@ -106,10 +109,13 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5):
     for frame in range(6):
         aa, num, cvalid, begin = frame_codons(frame)
         aa_m = jnp.where(cvalid, aa, 0)
-        num_m = jnp.where(cvalid, num, 0)
         aa_part = pack_windows(aa_m, 5)
-        dna_part = pack_windows(num_m, 3)
-        kmers = (aa_part << _U64(24)) | dna_part
+        if aa_only:
+            kmers = aa_part
+        else:
+            num_m = jnp.where(cvalid, num, 0)
+            dna_part = pack_windows(num_m, 3)
+            kmers = (aa_part << _U64(24)) | dna_part
 
         # window validity: all k codons valid AND window in range
         wv = jnp.ones((B, W), dtype=bool)

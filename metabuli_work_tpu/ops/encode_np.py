@@ -71,14 +71,19 @@ def scan_frame(
     forward: bool,
     syncmer: bool = False,
     smer_len: int = 5,
+    k: int = KMER_LEN,
+    aa_only: bool = False,
 ) -> FrameKmers:
     """Extract metamers of a single frame from 3-bit nucleotide codes.
 
     `codes` is the *forward-strand* code array; for reverse frames the
     reverse-complement is derived internally so position bookkeeping stays
     in forward coordinates (reference KmerScanner.h:94-97,110-114).
+
+    aa_only=True yields amino-acid-only k-mers (reference
+    KmerScanner_dna2aa, KmerScanner.h:185-261; k=12 for the read-group
+    and common-k-mer pipelines).
     """
-    k = KMER_LEN
     aa_len = used_len // 3
     n_win = aa_len - k + 1
     if n_win <= 0:
@@ -101,14 +106,17 @@ def scan_frame(
     valid = aa <= 20
 
     aa_part = _window_u64(np.where(valid, aa, 0), 5, k)
-    dna_part = _window_u64(np.where(valid, num, 0), 3, k)
     win_valid = (
         np.lib.stride_tricks.sliding_window_view(valid, k).all(axis=1)
         if aa_len >= k
         else np.zeros(0, bool)
     )
 
-    kmers = (aa_part << np.uint64(24)) | dna_part
+    if aa_only:
+        kmers = aa_part
+    else:
+        dna_part = _window_u64(np.where(valid, num, 0), 3, k)
+        kmers = (aa_part << np.uint64(24)) | dna_part
     w = np.arange(n_win, dtype=np.int64)
     if forward:
         pos = begin + 3 * w
@@ -147,6 +155,8 @@ def extract_query_kmers(
     syncmer: bool = False,
     smer_len: int = 5,
     pos_offset: int = 0,
+    k: int = KMER_LEN,
+    aa_only: bool = False,
 ):
     """All-6-frame query extraction for one read.
 
@@ -157,7 +167,7 @@ def extract_query_kmers(
     codes = seq_to_codes(seq)
     L = codes.shape[0]
     used_len = int(max_covered_length(L))
-    if used_len < 3 * KMER_LEN:
+    if used_len < 3 * k:
         z = np.zeros(0, np.uint64)
         return z, np.zeros(0, np.uint32), np.zeros(0, np.uint8)
 
@@ -168,7 +178,7 @@ def extract_query_kmers(
             begin = frame % 3
         else:
             begin = (L % 3 - frame % 3) % 3
-        fk = scan_frame(codes, begin, used_len, fwd, syncmer, smer_len)
+        fk = scan_frame(codes, begin, used_len, fwd, syncmer, smer_len, k=k, aa_only=aa_only)
         all_kmers.append(fk.kmers)
         all_pos.append(fk.pos + np.uint32(pos_offset))
         all_frames.append(np.full(fk.kmers.shape[0], frame, dtype=np.uint8))

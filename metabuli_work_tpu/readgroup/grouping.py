@@ -1,0 +1,270 @@
+"""Read-group generation (`grouping` command) — fork-specific subsystem.
+
+Reference: src/read-group/GroupGenerator.{h,cpp} + workflow/
+groupGeneration.cpp (defaults syncmer=1, minEdgeWeight=10, iter=10,
+convergence 0.01, neighborKmers 0):
+
+1. extract AA 12-mers per read (kmer-format 3/5; six frames);
+2. drop k-mers whose value occurs in the *common-k-mer DB* (k-mers
+   shared by >=2 species), plus any k-mer within +-neighborKmers nt of a
+   dropped position on the same read (GroupGenerator.cpp:199-377);
+3. shared-k-mer graph: for every k-mer value, all pairs of distinct
+   reads sharing it gain +1 edge weight (pair expansion over sorted
+   (kmer, read) runs, GroupGenerator.cpp:459-560 — here a vectorized
+   triangular expansion instead of per-thread hash maps);
+4. union-find over edges with weight > minEdgeWeight
+   (GroupGenerator.cpp:783-856) with the reference's tie rule (equal
+   rank -> smaller root wins) so representative ids match;
+5. adaptive refinement: per-group 25th-percentile member degree -> node
+   threshold clamp(p25*0.5*3.5, 1, 150); keep edge iff
+   w^2 >= thr[u]*thr[v]; iterate with the reference's three stopping
+   rules (GroupGenerator.cpp:114-196, degreeToThr at .h:218-222);
+6. outputs: `groups` (groupId + 1-based member ids), `groupMap`
+   (readId \t groupId), matching GroupGenerator.cpp:858-893.
+"""
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.fasta import read_seq_file
+from ..ops import encode_np
+
+
+@dataclass
+class GroupingParams:
+    syncmer: bool = True
+    smer_len: int = 5
+    min_edge_weight: int = 10
+    num_iterations: int = 10
+    convergence_threshold: float = 0.01
+    neighbor_kmers: int = 0
+    seq_mode: int = 1
+    kmer_len: int = 12
+
+
+class DisjointSet:
+    """Union-find with the reference's deterministic tie rule."""
+
+    def __init__(self, n):
+        self.parent = np.arange(n + 1, dtype=np.int64)
+        self.rank = np.zeros(n + 1, dtype=np.int32)
+        self.grouped = np.zeros(n + 1, dtype=bool)
+
+    def find(self, x):
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        self.grouped[a] = True
+        self.grouped[b] = True
+        if ra == rb:
+            return
+        if self.rank[ra] < self.rank[rb]:
+            self.parent[ra] = rb
+        elif self.rank[ra] > self.rank[rb]:
+            self.parent[rb] = ra
+        elif ra < rb:
+            self.parent[rb] = ra
+            self.rank[ra] += 1
+        else:
+            self.parent[ra] = rb
+            self.rank[rb] += 1
+
+    def flatten(self):
+        for i in range(1, len(self.parent)):
+            self.parent[i] = self.find(i)
+
+
+def extract_read_kmers(seqs, params: GroupingParams, id_offset=0):
+    """(kmer u64, read_id u32 1-based, pos u32) for a list of reads."""
+    kmers, rids, poss = [], [], []
+    for i, seq in enumerate(seqs):
+        km, pos, _ = encode_np.extract_query_kmers(
+            seq, syncmer=params.syncmer, smer_len=params.smer_len,
+            k=params.kmer_len, aa_only=True,
+        )
+        kmers.append(km)
+        poss.append(pos)
+        rids.append(np.full(len(km), id_offset + i + 1, dtype=np.int64))
+    if not kmers:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.int64), np.zeros(0, np.uint32))
+    return np.concatenate(kmers), np.concatenate(rids), np.concatenate(poss)
+
+
+def filter_common_kmers(kmers, rids, poss, common_values, neighbor: int = 0):
+    """Drop k-mers matching the common DB (exact value) and neighbors
+    within +-neighbor nt on the same read."""
+    if len(common_values) == 0 or len(kmers) == 0:
+        return kmers, rids, poss
+    idx = np.searchsorted(common_values, kmers)
+    idx = np.minimum(idx, len(common_values) - 1)
+    is_common = common_values[idx] == kmers
+
+    if neighbor <= 0:
+        keep = ~is_common
+        return kmers[keep], rids[keep], poss[keep]
+
+    # per read, drop positions within +-neighbor of any common hit
+    keep = np.ones(len(kmers), dtype=bool)
+    order = np.lexsort((poss, rids))
+    r_s, p_s = rids[order], poss[order].astype(np.int64)
+    c_s = is_common[order]
+    hit_r, hit_p = r_s[c_s], p_s[c_s]
+    # per k-mer: binary search its read's common-hit positions for any
+    # within +-neighbor
+    key_lo = r_s * np.int64(1 << 40) + np.maximum(p_s - neighbor, 0)
+    key_hi = r_s * np.int64(1 << 40) + p_s + neighbor
+    hit_key = hit_r * np.int64(1 << 40) + hit_p
+    a = np.searchsorted(hit_key, key_lo, side="left")
+    b = np.searchsorted(hit_key, key_hi, side="right")
+    drop_sorted = b > a
+    keep[order] = ~drop_sorted
+    return kmers[keep], rids[keep], poss[keep]
+
+
+def build_pair_weights(kmers, rids):
+    """Edge weights: pairs of distinct reads sharing a k-mer value,
+    +1 per shared value (reads unique-ified per value)."""
+    if len(kmers) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    order = np.lexsort((rids, kmers))
+    k_s, r_s = kmers[order], rids[order]
+    # unique (kmer, read)
+    first = np.ones(len(k_s), dtype=bool)
+    first[1:] = (k_s[1:] != k_s[:-1]) | (r_s[1:] != r_s[:-1])
+    k_u, r_u = k_s[first], r_s[first]
+    # runs per kmer value
+    new_run = np.ones(len(k_u), dtype=bool)
+    new_run[1:] = k_u[1:] != k_u[:-1]
+    run_id = np.cumsum(new_run) - 1
+    run_start = np.nonzero(new_run)[0]
+    run_len = np.diff(np.append(run_start, len(k_u)))
+
+    multi = run_len >= 2
+    if not multi.any():
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    starts = run_start[multi]
+    lens = run_len[multi]
+    n_pairs = (lens * (lens - 1)) // 2
+    total = int(n_pairs.sum())
+    # triangular expansion: for each run, pairs (i, j) i<j
+    run_of_pair = np.repeat(np.arange(len(starts)), n_pairs)
+    off = np.arange(total) - np.repeat(np.cumsum(n_pairs) - n_pairs, n_pairs)
+    L = lens[run_of_pair]
+    # map triangular offset -> (i, j)
+    i = (L - 2 - np.floor(np.sqrt(-8.0 * off + 4 * L * (L - 1) - 7) / 2.0 - 0.5)).astype(np.int64)
+    j = off + i + 1 - L * (L - 1) // 2 + (L - i) * ((L - i) - 1) // 2
+    a = r_u[starts[run_of_pair] + i]
+    b = r_u[starts[run_of_pair] + j]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    pair_key = lo * np.int64(1 << 32) + hi
+    uniq, w = np.unique(pair_key, return_counts=True)
+    return (uniq >> np.int64(32)), (uniq & np.int64(0xFFFFFFFF)), w
+
+
+def degree_to_thr(quarter_degree):
+    thr = quarter_degree * 0.5 * 3.5
+    return np.uint16(max(1.0, min(float(thr), 150.0)))
+
+
+def make_groups(id1, id2, w, n_reads, keep_mask):
+    ds = DisjointSet(n_reads)
+    for a, b in zip(id1[keep_mask], id2[keep_mask]):
+        ds.union(int(a), int(b))
+    ds.flatten()
+    query_group = np.zeros(n_reads + 1, dtype=np.int64)
+    query_group[ds.grouped] = ds.parent[ds.grouped]
+    return query_group
+
+
+def run_grouping(reads_path, common_db_dir, out_dir, params: GroupingParams,
+                 reads_path2=None):
+    os.makedirs(out_dir, exist_ok=True)
+    # load common-kmer DB values (sorted u64)
+    common_path = os.path.join(common_db_dir, "kmers.npy")
+    common_values = np.load(common_path) if os.path.exists(common_path) else np.zeros(0, np.uint64)
+
+    seqs = [rec.seq for rec in read_seq_file(reads_path)]
+    if reads_path2 and params.seq_mode == 2:
+        seqs2 = [rec.seq for rec in read_seq_file(reads_path2)]
+    else:
+        seqs2 = None
+    n_reads = len(seqs)
+
+    kmers, rids, poss = extract_read_kmers(seqs, params)
+    if seqs2:
+        k2, r2, p2 = extract_read_kmers(seqs2, params)
+        # mate-2 positions offset by len1 + 3 (same as classify)
+        off = np.array([len(s) + 3 for s in seqs], dtype=np.uint32)
+        p2 = p2 + off[r2 - 1]
+        kmers = np.concatenate([kmers, k2])
+        rids = np.concatenate([rids, r2])
+        poss = np.concatenate([poss, p2])
+
+    kmers, rids, poss = filter_common_kmers(kmers, rids, poss, common_values,
+                                            params.neighbor_kmers)
+    id1, id2, w = build_pair_weights(kmers, rids)
+    print(f"grouping: {len(id1)} read-pair edges from {len(kmers)} filtered k-mers")
+
+    # initial grouping: weight strictly greater than minEdgeWeight
+    query_group = make_groups(id1, id2, w, n_reads, w > params.min_edge_weight)
+
+    # node degree under the initial threshold
+    degree = np.zeros(n_reads + 1, dtype=np.int64)
+    keep0 = w > params.min_edge_weight
+    np.add.at(degree, id1[keep0], 1)
+    np.add.at(degree, id2[keep0], 1)
+
+    prev_change = 1.0
+    for it in range(params.num_iterations):
+        # per-group 25th percentile of member degree
+        node_thr = np.full(n_reads + 1, params.min_edge_weight, dtype=np.float64)
+        grouped_ids = np.nonzero(query_group)[0]
+        if len(grouped_ids):
+            groups, inv = np.unique(query_group[grouped_ids], return_inverse=True)
+            for gi, g in enumerate(groups):
+                degs = np.sort(degree[grouped_ids[inv == gi]], kind="stable")
+                p25 = degs[len(degs) // 4]
+                node_thr[grouped_ids[inv == gi]] = float(degree_to_thr(p25))
+
+        keep = (w.astype(np.int64) ** 2) >= (node_thr[id1] * node_thr[id2])
+        prev_group = query_group.copy()
+        query_group = make_groups(id1, id2, w, n_reads, keep)
+
+        grouped = query_group != 0
+        total_grouped = int(grouped.sum())
+        changed = int(((query_group != prev_group) & grouped).sum())
+        ratio = changed / total_grouped if total_grouped else 0.0
+        print(f"  iteration {it + 1}: {changed}/{total_grouped} changed ({ratio:.1%})")
+        if ratio < 0.01:
+            break
+        if it > 0 and ratio <= params.convergence_threshold:
+            break
+        if it > 0 and ratio >= prev_change * 0.95:
+            break
+        prev_change = ratio
+
+    # outputs
+    groups_path = os.path.join(out_dir, "groups")
+    with open(groups_path, "w") as f:
+        groups: dict = {}
+        for i in range(1, n_reads + 1):
+            g = int(query_group[i])
+            if g:
+                groups.setdefault(g, []).append(i)
+        for g, members in groups.items():
+            f.write(f"{g}\t" + "\t".join(str(x) for x in members) + "\t\n")
+    map_path = os.path.join(out_dir, "groupMap")
+    with open(map_path, "w") as f:
+        for i in range(1, n_reads + 1):
+            f.write(f"{i}\t{int(query_group[i])}\n")
+    print(f"grouping: {len(set(query_group[query_group > 0].tolist()))} groups -> {groups_path}")
+    return query_group

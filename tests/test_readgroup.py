@@ -1,0 +1,170 @@
+"""Read-group subsystem tests: grouping + apply-group + common-kmer DB."""
+
+import os
+
+import numpy as np
+import pytest
+
+from metabuli_work_tpu.readgroup.grouping import (
+    DisjointSet,
+    GroupingParams,
+    build_pair_weights,
+    filter_common_kmers,
+    run_grouping,
+)
+
+rng = np.random.default_rng(5)
+
+
+def rgen(n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def test_pair_weights_triangular():
+    # kmer X shared by reads 1,2,3; kmer Y by 2,3; kmer Z only read 1
+    kmers = np.array([100, 100, 100, 200, 200, 300, 100], dtype=np.uint64)
+    rids = np.array([1, 2, 3, 2, 3, 1, 2], dtype=np.int64)  # dup (100,2)
+    id1, id2, w = build_pair_weights(kmers, rids)
+    pairs = {(int(a), int(b)): int(c) for a, b, c in zip(id1, id2, w)}
+    assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_filter_common():
+    kmers = np.array([10, 20, 30, 40], dtype=np.uint64)
+    rids = np.array([1, 1, 2, 2], dtype=np.int64)
+    poss = np.array([0, 9, 0, 9], dtype=np.uint32)
+    common = np.array([20, 40], dtype=np.uint64)
+    k, r, p = filter_common_kmers(kmers, rids, poss, common, neighbor=0)
+    assert k.tolist() == [10, 30]
+    # neighbor=9 also removes kmers within 9 nt of a hit
+    k, r, p = filter_common_kmers(kmers, rids, poss, common, neighbor=9)
+    assert k.tolist() == []
+
+
+def test_disjoint_set_tie_rule():
+    ds = DisjointSet(4)
+    ds.union(3, 4)   # equal rank, 3 < 4 -> root 3
+    assert ds.find(4) == 3
+    ds.union(2, 1)   # equal rank, 1 < 2 -> root 1
+    assert ds.find(2) == 1
+    ds.union(4, 2)   # roots 3 (rank1), 1 (rank1): tie, 1 < 3 -> root 1
+    assert ds.find(3) == 1
+    assert all(ds.grouped[1:5])
+
+
+@pytest.fixture(scope="module")
+def grouping_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("rg")
+    # two "species" genomes, no shared sequence; reads sampled in two camps
+    gA, gB = rgen(8000), rgen(8000)
+    reads = []
+    for i in range(12):
+        g = gA if i < 6 else gB
+        # overlapping reads from a small window so they share k-mers
+        base = 1000 if i < 6 else 3000
+        s = base + (i % 6) * 40
+        reads.append(g[s : s + 400])
+    reads_path = tmp / "reads.fna"
+    with open(reads_path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">rgread{i}\n{r}\n")
+    # empty common DB
+    common = tmp / "common"
+    common.mkdir()
+    np.save(common / "kmers.npy", np.zeros(0, np.uint64))
+    return tmp, reads_path, common
+
+
+def test_run_grouping(grouping_setup):
+    tmp, reads_path, common = grouping_setup
+    out = tmp / "out"
+    params = GroupingParams(syncmer=True, min_edge_weight=10, num_iterations=3)
+    qg = run_grouping(str(reads_path), str(common), str(out), params)
+    # reads 1-6 in one group, 7-12 in another, groups disjoint
+    g1 = set(qg[1:7].tolist())
+    g2 = set(qg[7:13].tolist())
+    assert len(g1) == 1 and len(g2) == 1 and g1 != g2
+    assert 0 not in g1 and 0 not in g2
+    assert os.path.exists(out / "groups") and os.path.exists(out / "groupMap")
+    # groups file format: gid\tmember\t...\t
+    line = open(out / "groups").readline()
+    parts = [p for p in line.rstrip("\n").split("\t") if p]
+    assert len(parts) >= 7
+
+
+def test_apply_group(grouping_setup, tmp_path):
+    tmp, reads_path, common = grouping_setup
+    out = tmp / "out"
+    # taxonomy + fake classifications: group1 members mostly species 11,
+    # group2 mostly species 21
+    d = tmp_path / "taxdump"
+    d.mkdir()
+    nodes = [(1, 1, "no rank"), (2, 1, "superkingdom"),
+             (10, 2, "genus"), (11, 10, "species"), (21, 10, "species")]
+    names = {1: "root", 2: "B", 10: "G", 11: "S1", 21: "S2"}
+    with open(d / "nodes.dmp", "w") as f:
+        for t, p, r in nodes:
+            f.write(f"{t}\t|\t{p}\t|\t{r}\t|\n")
+    with open(d / "names.dmp", "w") as f:
+        for t, nm in names.items():
+            f.write(f"{t}\t|\t{nm}\t|\t\t|\tscientific name\t|\n")
+    (d / "merged.dmp").write_text("")
+
+    cls = tmp_path / "cls.tsv"
+    with open(cls, "w") as f:
+        f.write("#is_classified\tname\ttaxID\tquery_length\tscore\trank\ttaxID:match_count\n")
+        for i in range(12):
+            tid = 11 if i < 6 else 21
+            if i in (2, 8):  # two unclassified members
+                f.write(f"0\trgread{i}\t0\t400\t0\t-\t-\t\n")
+            else:
+                f.write(f"1\trgread{i}\t{tid}\t400\t0.8\tspecies\t{tid}:5 \n")
+
+    from metabuli_work_tpu.readgroup.apply import apply_groups
+
+    out_path = apply_groups(str(out / "groups"), str(out / "groupMap"), str(d),
+                            str(cls), str(tmp_path / "applied"))
+    lines = [l for l in open(out_path).read().splitlines() if not l.startswith("#")]
+    assert len(lines) == 12
+    # unclassified members picked up their group's label
+    row2 = lines[2].split("\t")
+    row8 = lines[8].split("\t")
+    assert row2[0] == "1" and row2[2] == "11"
+    assert row8[0] == "1" and row8[2] == "21"
+    # group column present
+    assert row2[6] != "-"
+
+
+def test_common_kmer_db(tmp_path):
+    from metabuli_work_tpu.index.common import build_common_kmer_db
+
+    d = tmp_path / "taxdump"
+    d.mkdir()
+    nodes = [(1, 1, "no rank"), (2, 1, "superkingdom"),
+             (10, 2, "genus"), (11, 10, "species"), (21, 10, "species")]
+    with open(d / "nodes.dmp", "w") as f:
+        for t, p, r in nodes:
+            f.write(f"{t}\t|\t{p}\t|\t{r}\t|\n")
+    with open(d / "names.dmp", "w") as f:
+        for t in (1, 2, 10, 11, 21):
+            f.write(f"{t}\t|\tn{t}\t|\t\t|\tscientific name\t|\n")
+    (d / "merged.dmp").write_text("")
+
+    shared = rgen(600)
+    gA = rgen(2000) + shared + rgen(2000)
+    gB = rgen(2000) + shared + rgen(2000)
+    fasta = tmp_path / "g.fna"
+    fasta.write_text(f">A\n{gA}\n>B\n{gB}\n")
+    (tmp_path / "fl.txt").write_text(str(fasta) + "\n")
+    (tmp_path / "a2t.map").write_text("accession\taccession.version\ttaxid\tgi\nA\tA.1\t11\t0\nB\tB.1\t21\t0\n")
+
+    vals = build_common_kmer_db(str(tmp_path / "cdb"), str(tmp_path / "fl.txt"),
+                                str(tmp_path / "a2t.map"), str(d))
+    assert len(vals) > 100  # k-mers of the shared 600bp block
+    assert np.all(np.diff(vals.astype(np.uint64)) > 0)
+
+    # spot check: a k-mer from the middle of the shared region is present
+    from metabuli_work_tpu.index.common import extract_target_aa_kmers
+    mid = extract_target_aa_kmers(shared[100:200])
+    present = np.isin(mid, vals)
+    assert present.mean() > 0.9
