@@ -111,6 +111,21 @@ class Classifier:
         if names:
             yield names, s1, s2
 
+    def _read_batches_native(self, path1, path2=None):
+        """Array batches via the native C++ reader (no per-read Python)."""
+        from ..io.native_reader import NativeBatchReader
+
+        cap = max(self.params.long_read_chunk, 4096)
+        r1 = NativeBatchReader(path1, self.params.batch_size, cap)
+        r2 = NativeBatchReader(path2, self.params.batch_size, cap) if path2 else None
+        for batch1 in r1:
+            names, a1, l1 = batch1
+            if r2 is not None:
+                _, a2, l2 = next(r2)
+            else:
+                a2 = l2 = None
+            yield names, a1, l1, a2, l2
+
     def _pad_batch(self, seqs: List[str]):
         lmax = _bucket_len(max((len(s) for s in seqs), default=1))
         B = len(seqs)
@@ -125,16 +140,15 @@ class Classifier:
         return arr, lens
 
     # ------------------------------------------------------------------ #
-    def _extract(self, seqs, pos_offsets=None):
+    def _extract_arrays(self, arr, lens, pos_offsets=None):
         import jax.numpy as jnp
 
-        arr, lens = self._pad_batch(seqs)
         kmers, pos, valid = encode_jax.extract_batch(
             jnp.asarray(arr), jnp.asarray(lens), syncmer=self.syncmer, smer_len=self.smer_len
         )
         if pos_offsets is not None:
             pos = pos + jnp.asarray(pos_offsets, dtype=jnp.int32)[:, None, None]
-        return kmers, pos, valid, lens
+        return kmers, pos, valid
 
     def _probe(self, q_kmers, q_frames, q_valid, cap):
         return match_jax.match_kmers(
@@ -144,22 +158,34 @@ class Classifier:
         )
 
     def classify_batch(self, names, seqs1, seqs2=None):
-        """Classify one batch; returns list of QueryRecord with results."""
+        """Classify one batch of string reads (pads then dispatches)."""
+        a1, l1 = self._pad_batch(seqs1)
+        a2 = l2 = None
+        if seqs2 is not None and any(s is not None for s in seqs2):
+            a2, l2 = self._pad_batch(seqs2)
+        return self.classify_batch_arrays(names, a1, l1, a2, l2)
+
+    def classify_batch_arrays(self, names, a1, l1, a2=None, l2=None):
+        """Core batch path: padded uint8 arrays in, QueryRecords out."""
         import jax.numpy as jnp
 
         B = len(names)
         seq_ids = jnp.arange(1, B + 1, dtype=jnp.int32)
 
-        k1, p1, v1, l1 = self._extract(seqs1)
-        fk1 = encode_jax.flatten_batch(k1, p1, v1, seq_ids)
-        parts = [fk1]
-        l2 = None
-        if seqs2 is not None and any(s is not None for s in seqs2):
+        # crop the batch to its own length bucket to bound device shapes
+        l1 = np.minimum(np.asarray(l1, dtype=np.int32), a1.shape[1])
+        lmax1 = _bucket_len(int(l1.max()) if B else 1)
+        k1, p1, v1 = self._extract_arrays(np.ascontiguousarray(a1[:, :lmax1]), l1)
+        parts = [encode_jax.flatten_batch(k1, p1, v1, seq_ids)]
+        if a2 is not None:
+            l2 = np.minimum(np.asarray(l2, dtype=np.int32), a2.shape[1])
+            lmax2 = _bucket_len(int(l2.max()) if B else 1)
             # mate-2 positions are offset by len1 + 3 (KmerExtractor.cpp:341-345)
-            offs = np.asarray(l1, dtype=np.int32) + 3
-            k2, p2, v2, l2arr = self._extract(seqs2, pos_offsets=offs)
-            l2 = l2arr
+            k2, p2, v2 = self._extract_arrays(
+                np.ascontiguousarray(a2[:, :lmax2]), l2, pos_offsets=l1 + 3)
             parts.append(encode_jax.flatten_batch(k2, p2, v2, seq_ids))
+        else:
+            l2 = None
 
         q_kmers = jnp.concatenate([p[0] for p in parts])
         q_pos = jnp.concatenate([p[1] for p in parts])
@@ -182,8 +208,8 @@ class Classifier:
         from .taxonomer import sort_matches
 
         packed = compact_jax.compact_and_sort(out, q_pos, q_frames, q_sids)
-        k1, k2, k3, pl = compact_jax.fetch_compacted(packed)
-        m = compact_jax.decode_matches(k1, k2, k3, pl, MATCH_DTYPE)
+        arr = compact_jax.fetch_compacted(packed)
+        m = compact_jax.decode_matches(arr, MATCH_DTYPE)
         m = sort_matches(m)
         self.total_match_cnt += len(m)
 
@@ -203,10 +229,29 @@ class Classifier:
     def classify_file(self, path1, path2=None, progress=None):
         all_results = []
         done = 0
-        for names, s1, s2 in self._read_batches(path1, path2 if self.params.seq_mode == 2 else None):
-            res = self.classify_batch(names, s1, s2 if self.params.seq_mode == 2 else None)
-            all_results.extend(res)
-            done += len(res)
-            if progress:
-                progress(done)
+        p2 = path2 if self.params.seq_mode == 2 else None
+
+        use_native = not self.params.mask_mode
+        if use_native:
+            try:
+                from ..io import native_reader
+
+                use_native = native_reader.available()
+            except Exception:
+                use_native = False
+
+        if use_native:
+            for names, a1, l1, a2, l2 in self._read_batches_native(path1, p2):
+                res = self.classify_batch_arrays(names, a1, l1, a2, l2)
+                all_results.extend(res)
+                done += len(res)
+                if progress:
+                    progress(done)
+        else:
+            for names, s1, s2 in self._read_batches(path1, p2):
+                res = self.classify_batch(names, s1, s2)
+                all_results.extend(res)
+                done += len(res)
+                if progress:
+                    progress(done)
         return all_results

@@ -207,6 +207,91 @@ def cmd_update_db(args):
     print(f"Updated DB written: {index.size} k-mers")
 
 
+def cmd_create_uniref_tree(args):
+    from .uniref.tree import UnirefTree
+
+    tree = UnirefTree.from_xml(args.xml)
+    tree.save(args.output)
+    print(f"create-uniref-tree: {len(tree)} nodes -> {args.output}")
+
+
+def cmd_create_uniref_db(args):
+    from .uniref.db import build_uniref_db
+
+    build_uniref_db(args.dbdir, args.proteins, args.tree,
+                    k=args.kmer_len, syncmer=bool(args.syncmer),
+                    smer_len=args.smer_len)
+
+
+def cmd_assign_uniref(args):
+    from .uniref.classifier import assign_uniref
+
+    assign_uniref(args.queries, args.dbdir, args.outdir)
+
+
+def cmd_maketestsets(args):
+    from .report.benchmark import make_test_sets
+
+    make_test_sets(args.assembly_list, args.taxdb, args.outdir,
+                   rank=args.rank, exclude_per_rank=args.exclude_per_rank,
+                   seed=args.random_seed)
+
+
+def cmd_make_inclusion(args):
+    from .report.benchmark import make_inclusion_queries
+
+    make_inclusion_queries(args.assembly_list, args.outdir,
+                           fraction=args.fraction, seed=args.random_seed)
+
+
+def cmd_grade_group(args):
+    from .report.benchmark import grade_group
+
+    grade_group(args.groups, args.answer, args.dbdir,
+                ranks=args.ranks.split(","))
+
+
+def cmd_grade_by(args):
+    from .report.benchmark import grade_by_strata
+
+    grade_by_strata(args.classifications, args.answer, args.dbdir,
+                    args.strata, ranks=args.ranks.split(","), label=args.label)
+
+
+def cmd_mapping2taxon(args):
+    from .report.benchmark import mapping2taxon
+
+    mapping2taxon(args.mapping, args.dbdir, args.output, rank=args.rank)
+
+
+def cmd_accession2taxid(args):
+    """Build acc2taxid.map for FASTA files from master NCBI mapping files
+    (reference src/util/accession2taxid.cpp)."""
+    from .io.fasta import read_fasta
+
+    accs = []
+    with open(args.fasta_list) as f:
+        for fa in (ln.strip() for ln in f if ln.strip()):
+            for rec in read_fasta(fa):
+                accs.append(rec.name)
+    wanted = {a.split(".")[0] for a in accs}
+    found = {}
+    for master in args.mappings:
+        with open(master) as f:
+            f.readline()
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 3 and parts[0] in wanted:
+                    found[parts[0]] = parts[2]
+    with open(args.output, "w") as f:
+        f.write("accession\taccession.version\ttaxid\tgi\n")
+        for a in accs:
+            base = a.split(".")[0]
+            if base in found:
+                f.write(f"{base}\t{a}\t{found[base]}\t0\n")
+    print(f"accession2taxid: mapped {len(found)}/{len(wanted)} accessions -> {args.output}")
+
+
 def cmd_common_kmer(args):
     from .index.common import build_common_kmer_db
 
@@ -349,6 +434,79 @@ def main(argv=None):
                    help="TSV of new taxa: taxid, parent, rank, name")
     p.add_argument("--max-ram", type=float, default=32.0)
     p.set_defaults(func=cmd_update_db)
+
+    p = sub.add_parser("create-uniref-tree", help="parse UniRef100 XML into cluster tree")
+    p.add_argument("xml")
+    p.add_argument("output", help="output .npz path")
+    p.set_defaults(func=cmd_create_uniref_tree)
+
+    p = sub.add_parser("create-uniref-db", help="AA k-mer DB with UniRef LCA labels")
+    p.add_argument("dbdir")
+    p.add_argument("proteins", help="protein FASTA")
+    p.add_argument("tree", help="uniref tree .npz")
+    p.add_argument("--kmer-len", type=int, default=12)
+    p.add_argument("--syncmer", type=int, default=0)
+    p.add_argument("--smer-len", type=int, default=5)
+    p.set_defaults(func=cmd_create_uniref_db)
+
+    p = sub.add_parser("assign_uniref", help="classify proteins over UniRef clusters")
+    p.add_argument("queries", help="protein FASTA")
+    p.add_argument("dbdir")
+    p.add_argument("outdir")
+    p.set_defaults(func=cmd_assign_uniref)
+
+    p = sub.add_parser("maketestsets", help="rank-stratified exclusion benchmark sets")
+    p.add_argument("assembly_list", help="TSV: assembly_path, taxid")
+    p.add_argument("taxdb", help="DB dir (taxonomy.npz) or taxdump dir")
+    p.add_argument("outdir")
+    p.add_argument("--rank", default="species")
+    p.add_argument("--exclude-per-rank", type=int, default=1)
+    p.add_argument("--random-seed", type=int, default=42)
+    p.set_defaults(func=cmd_maketestsets)
+
+    p = sub.add_parser("makeInclusionTestQueries", help="inclusion benchmark queries")
+    p.add_argument("assembly_list")
+    p.add_argument("outdir")
+    p.add_argument("--fraction", type=float, default=0.3)
+    p.add_argument("--random-seed", type=int, default=42)
+    p.set_defaults(func=cmd_make_inclusion)
+
+    p = sub.add_parser("gradeGroup", help="group purity grading vs answer sheet")
+    p.add_argument("groups")
+    p.add_argument("answer")
+    p.add_argument("dbdir")
+    p.add_argument("--ranks", default="species,genus,family")
+    p.set_defaults(func=cmd_grade_group)
+
+    p = sub.add_parser("gradeByCoverage", help="grading stratified by coverage bucket")
+    p.add_argument("classifications")
+    p.add_argument("answer")
+    p.add_argument("dbdir")
+    p.add_argument("strata", help="TSV: read_name, coverage bucket")
+    p.add_argument("--ranks", default="species,genus,family")
+    p.set_defaults(func=cmd_grade_by, label="coverage")
+
+    p = sub.add_parser("gradeByCladeSize", help="grading stratified by clade size")
+    p.add_argument("classifications")
+    p.add_argument("answer")
+    p.add_argument("dbdir")
+    p.add_argument("strata", help="TSV: read_name, clade-size bucket")
+    p.add_argument("--ranks", default="species,genus,family")
+    p.set_defaults(func=cmd_grade_by, label="clade_size")
+
+    p = sub.add_parser("mapping2taxon", help="read->taxid mapping to taxon at rank")
+    p.add_argument("mapping")
+    p.add_argument("dbdir")
+    p.add_argument("output")
+    p.add_argument("--rank", default="species")
+    p.set_defaults(func=cmd_mapping2taxon)
+
+    p = sub.add_parser("accession2taxid", help="build acc2taxid.map from master files")
+    p.add_argument("fasta_list")
+    p.add_argument("output")
+    p.add_argument("--mappings", nargs="+", required=True,
+                   help="NCBI accession2taxid master files")
+    p.set_defaults(func=cmd_accession2taxid)
 
     p = sub.add_parser("create-common-kmer-list", help="build shared-k-mer DB for grouping")
     p.add_argument("dbdir")
