@@ -207,6 +207,95 @@ def cmd_update_db(args):
     print(f"Updated DB written: {index.size} k-mers")
 
 
+_PREBUILT_DBS = {
+    # name: (approx size, source note) — reference `databases` command
+    # (MetabuliBase.cpp:50-59 + data/metabulidatabases.sh); URLs resolve at
+    # metabuli.steineggerlab.workers.dev
+    "RefSeq_virus": ("8.1 GiB", "RefSeq viral genomes"),
+    "RefSeq_prokaryote_virus": ("115.6 GiB", "RefSeq prokaryotes + viruses"),
+    "GTDB": ("101 GiB", "GTDB 214.1 species representatives"),
+    "RefSeq_release": ("619 GiB", "RefSeq release 224"),
+}
+
+
+def cmd_databases(args):
+    base = "https://metabuli.steineggerlab.workers.dev"
+    if not args.name:
+        print("Available prebuilt databases (reference-format; convert with")
+        print("`metabuli-tpu convertDB` after download):")
+        for name, (size, note) in _PREBUILT_DBS.items():
+            print(f"  {name:28s} {size:>10s}  {note}")
+        print(f"Download from {base} (network egress required).")
+        return 0
+    if args.name not in _PREBUILT_DBS:
+        print(f"Unknown database {args.name}.")
+        return 1
+    print(f"Download: {base}/{args.name}.tar.gz -> {args.outdir}")
+    print("(this environment has no network egress; fetch externally, then")
+    print(f" run: metabuli-tpu convertDB {args.outdir}/{args.name} )")
+    return 0
+
+
+def cmd_convert_db(args):
+    """Convert a reference-format DB (diffIdx/info/split + taxdump) to the
+    native sorted-array layout."""
+    from .index.format import import_reference_format, save_index
+    from .taxonomy import Taxonomy
+    import os as _os
+
+    npz = _os.path.join(args.dbdir, "taxonomy.npz")
+    if _os.path.exists(npz):
+        tax = Taxonomy.load(npz)
+    else:
+        tax = Taxonomy.from_taxdump(args.taxonomy_dir or args.dbdir)
+    index = import_reference_format(args.dbdir, tax)
+    save_index(args.output or args.dbdir, index)
+    print(f"convertDB: {index.size} k-mers -> {args.output or args.dbdir}")
+
+
+def cmd_gtdb2taxdump(args):
+    from .taxonomy.gtdb import gtdb_to_taxdump
+
+    gtdb_to_taxdump(args.tsv, args.outdir, start_taxid=args.start_taxid)
+
+
+def cmd_edit_names(args):
+    from .taxonomy.tools import edit_names
+
+    edit_names(args.names_dmp, args.output, args.replacements)
+
+
+def cmd_new_taxa_list(args):
+    from .taxonomy.tools import create_new_taxa_list
+
+    create_new_taxa_list(args.fasta_list, args.acc2taxid, args.taxonomy_dir, args.output)
+
+
+def cmd_query2reference(args):
+    from .taxonomy.tools import query_to_reference
+
+    query_to_reference(args.classifications, args.acc2taxid, args.output)
+
+
+def cmd_filter_by_genus(args):
+    from .taxonomy.tools import filter_by_genus
+
+    filter_by_genus(args.classifications, args.dbdir,
+                    [int(g) for g in args.genera.split(",")], args.output)
+
+
+def cmd_count_common(args):
+    from .taxonomy.tools import count_common_kmers
+
+    count_common_kmers(args.dbdir_a, args.dbdir_b)
+
+
+def cmd_make_aa_offset(args):
+    from .taxonomy.tools import make_aa_offset
+
+    make_aa_offset(args.dbdir, args.output)
+
+
 def cmd_create_uniref_tree(args):
     from .uniref.tree import UnirefTree
 
@@ -434,6 +523,59 @@ def main(argv=None):
                    help="TSV of new taxa: taxid, parent, rank, name")
     p.add_argument("--max-ram", type=float, default=32.0)
     p.set_defaults(func=cmd_update_db)
+
+    p = sub.add_parser("databases", help="list prebuilt databases")
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("outdir", nargs="?", default=".")
+    p.set_defaults(func=cmd_databases)
+
+    p = sub.add_parser("convertDB", help="reference-format DB -> native layout")
+    p.add_argument("dbdir")
+    p.add_argument("--taxonomy-dir", default=None)
+    p.add_argument("--output", default=None)
+    p.set_defaults(func=cmd_convert_db)
+
+    p = sub.add_parser("gtdb2taxdump", help="GTDB taxonomy TSV -> taxdump")
+    p.add_argument("tsv", nargs="+")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--start-taxid", type=int, default=10000000)
+    p.set_defaults(func=cmd_gtdb2taxdump)
+
+    p = sub.add_parser("editNames", help="sanitize names.dmp")
+    p.add_argument("names_dmp")
+    p.add_argument("output")
+    p.add_argument("--replacements", default=None)
+    p.set_defaults(func=cmd_edit_names)
+
+    p = sub.add_parser("createnewtaxalist", help="template rows for unmapped accessions")
+    p.add_argument("fasta_list")
+    p.add_argument("acc2taxid")
+    p.add_argument("output")
+    p.add_argument("--taxonomy-dir", required=True)
+    p.set_defaults(func=cmd_new_taxa_list)
+
+    p = sub.add_parser("query2reference", help="map classified reads to reference accessions")
+    p.add_argument("classifications")
+    p.add_argument("acc2taxid")
+    p.add_argument("output")
+    p.set_defaults(func=cmd_query2reference)
+
+    p = sub.add_parser("filter_by_genus", help="keep reads under given genera")
+    p.add_argument("classifications")
+    p.add_argument("dbdir")
+    p.add_argument("output")
+    p.add_argument("--genera", required=True, help="comma-separated genus taxids")
+    p.set_defaults(func=cmd_filter_by_genus)
+
+    p = sub.add_parser("count-common-kmers", help="k-mer overlap of two DBs")
+    p.add_argument("dbdir_a")
+    p.add_argument("dbdir_b")
+    p.set_defaults(func=cmd_count_common)
+
+    p = sub.add_parser("makeAAoffset", help="AA-run offsets of the sorted index")
+    p.add_argument("dbdir")
+    p.add_argument("--output", default=None)
+    p.set_defaults(func=cmd_make_aa_offset)
 
     p = sub.add_parser("create-uniref-tree", help="parse UniRef100 XML into cluster tree")
     p.add_argument("xml")
