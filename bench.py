@@ -107,9 +107,11 @@ def main():
     clf.db_species = jnp.asarray(index.species.astype(np.int32))
     clf.cap = int(min(max(index.max_aa_run(), 8), params.max_cap))
     from metabuli_work_tpu.classify.taxonomer_vec import VectorTaxonomer
+    from metabuli_work_tpu.utils.timing import StageTimer
     clf.taxonomer = VectorTaxonomer(tax, kmer_format=2, seq_mode=1,
                                     min_score=0.15, min_sp_score=0.5)
     clf.total_match_cnt = 0
+    clf.timer = StageTimer()
 
     names = [f"r{i}" for i in range(BATCH)]
     seqs = ["".join(map(chr, row)) for row in reads[:BATCH]]
@@ -131,6 +133,7 @@ def main():
     rate = N_READS / dt
     print(f"# measured: {N_READS} reads in {dt:.2f}s, {classified} classified",
           file=sys.stderr)
+    print("# " + clf.timer.report().replace("\n", "\n# "), file=sys.stderr)
 
     print(json.dumps({
         "metric": "reads_per_sec_per_chip_150bp",

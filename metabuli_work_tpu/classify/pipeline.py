@@ -25,6 +25,7 @@ from ..index.format import KmerIndex, load_index
 from ..io.fasta import read_seq_file
 from ..ops import encode_jax, match_jax
 from ..ops import mask as mask_ops
+from ..utils.timing import StageTimer
 from .taxonomer import MATCH_DTYPE, ReadResult
 from .taxonomer_vec import VectorTaxonomer
 
@@ -92,6 +93,7 @@ class Classifier:
             em=params.em,
         )
         self.total_match_cnt = 0
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------ #
     def _read_batches(self, path1, path2=None) -> Iterator[tuple]:
@@ -115,7 +117,10 @@ class Classifier:
         """Array batches via the native C++ reader (no per-read Python)."""
         from ..io.native_reader import NativeBatchReader
 
-        cap = max(self.params.long_read_chunk, 4096)
+        # long-read mode gets a much larger row cap (reads are processed
+        # whole; reference --seq-mode 3 handles arbitrary lengths via the
+        # same per-frame scanners)
+        cap = 1 << 16 if self.params.seq_mode == 3 else max(self.params.long_read_chunk, 4096)
         r1 = NativeBatchReader(path1, self.params.batch_size, cap)
         r2 = NativeBatchReader(path2, self.params.batch_size, cap) if path2 else None
         for batch1 in r1:
@@ -167,57 +172,70 @@ class Classifier:
 
     def classify_batch_arrays(self, names, a1, l1, a2=None, l2=None):
         """Core batch path: padded uint8 arrays in, QueryRecords out."""
+        return self._finish_batch(self._dispatch_batch(names, a1, l1, a2, l2))
+
+    # -- async halves: dispatch launches device work, finish pulls + scores
+    def _dispatch_batch(self, names, a1, l1, a2=None, l2=None, cap=None):
         import jax.numpy as jnp
 
+        from ..models.flagship import fused_step
+
         B = len(names)
-        seq_ids = jnp.arange(1, B + 1, dtype=jnp.int32)
+        cap = cap or self.cap
+        with self.timer.stage("dispatch"):
+            # crop the batch to its own length bucket to bound device shapes
+            l1 = np.minimum(np.asarray(l1, dtype=np.int32), a1.shape[1])
+            lmax1 = _bucket_len(int(l1.max()) if B else 1)
+            r1 = jnp.asarray(np.ascontiguousarray(a1[:, :lmax1]))
+            j1 = jnp.asarray(l1)
+            paired = a2 is not None
+            if paired:
+                l2 = np.minimum(np.asarray(l2, dtype=np.int32), a2.shape[1])
+                lmax2 = _bucket_len(int(l2.max()) if B else 1)
+                r2 = jnp.asarray(np.ascontiguousarray(a2[:, :lmax2]))
+                j2 = jnp.asarray(l2)
+            else:
+                l2 = None
+                r2 = jnp.zeros((B, 96), dtype=jnp.uint8)
+                j2 = jnp.zeros(B, dtype=jnp.int32)
+            packed, count, overflow = fused_step(
+                r1, j1, r2, j2,
+                self.db_values, self.db_taxids, self.db_species,
+                cap=cap, kmer_format=self.kmer_format,
+                syncmer=self.syncmer, smer_len=self.smer_len, paired=paired,
+            )
+        return {
+            "names": names, "l1": l1, "l2": l2, "cap": cap,
+            "a1": a1, "a2": a2,
+            "overflow": overflow, "packed": (packed, count),
+        }
 
-        # crop the batch to its own length bucket to bound device shapes
-        l1 = np.minimum(np.asarray(l1, dtype=np.int32), a1.shape[1])
-        lmax1 = _bucket_len(int(l1.max()) if B else 1)
-        k1, p1, v1 = self._extract_arrays(np.ascontiguousarray(a1[:, :lmax1]), l1)
-        parts = [encode_jax.flatten_batch(k1, p1, v1, seq_ids)]
-        if a2 is not None:
-            l2 = np.minimum(np.asarray(l2, dtype=np.int32), a2.shape[1])
-            lmax2 = _bucket_len(int(l2.max()) if B else 1)
-            # mate-2 positions are offset by len1 + 3 (KmerExtractor.cpp:341-345)
-            k2, p2, v2 = self._extract_arrays(
-                np.ascontiguousarray(a2[:, :lmax2]), l2, pos_offsets=l1 + 3)
-            parts.append(encode_jax.flatten_batch(k2, p2, v2, seq_ids))
-        else:
-            l2 = None
-
-        q_kmers = jnp.concatenate([p[0] for p in parts])
-        q_pos = jnp.concatenate([p[1] for p in parts])
-        q_frames = jnp.concatenate([p[2] for p in parts])
-        q_sids = jnp.concatenate([p[3] for p in parts])
-        q_valid = jnp.concatenate([p[4] for p in parts])
-
+    def _finish_batch(self, ctx):
         from ..ops import compact_jax
-
-        cap = self.cap
-        while True:
-            out = self._probe(q_kmers, q_frames, q_valid, cap)
-            if int(out["overflow"]) == 0 or cap >= self.index.max_aa_run():
-                break
-            cap = min(cap * 2, self.index.max_aa_run())
-        self.cap = max(self.cap, cap)
-
-        # device-side pack + compact; host pulls only the match prefix,
-        # decodes with vectorized shifts, and applies compareMatches order
         from .taxonomer import sort_matches
 
-        packed = compact_jax.compact_and_sort(out, q_pos, q_frames, q_sids)
-        arr = compact_jax.fetch_compacted(packed)
-        m = compact_jax.decode_matches(arr, MATCH_DTYPE)
-        m = sort_matches(m)
+        # deferred overflow check: re-dispatch with a bigger cap if needed
+        while int(ctx["overflow"]) > 0 and ctx["cap"] < self.index.max_aa_run():
+            cap = min(ctx["cap"] * 2, self.index.max_aa_run())
+            self.cap = max(self.cap, cap)
+            ctx = self._dispatch_batch(ctx["names"], ctx["a1"], ctx["l1"],
+                                       ctx["a2"], ctx["l2"], cap=cap)
+
+        names, l1, l2 = ctx["names"], ctx["l1"], ctx["l2"]
+        B = len(names)
+        with self.timer.stage("fetch"):
+            arr = compact_jax.fetch_compacted(ctx["packed"])
+        with self.timer.stage("decode+sort"):
+            m = compact_jax.decode_matches(arr, MATCH_DTYPE)
+            m = sort_matches(m)
         self.total_match_cnt += len(m)
 
         lens1 = np.asarray(l1)
         lens2 = np.asarray(l2) if l2 is not None else np.zeros(B, dtype=np.int32)
         qlens = np.zeros(B + 1, dtype=np.int64)
         qlens[1:] = lens1 + lens2
-        read_results = self.taxonomer.classify_batch(m, qlens, B)
+        with self.timer.stage("score"):
+            read_results = self.taxonomer.classify_batch(m, qlens, B)
         results = []
         for i in range(B):
             qr = QueryRecord(names[i], int(lens1[i]), int(lens2[i]))
@@ -240,18 +258,38 @@ class Classifier:
             except Exception:
                 use_native = False
 
+        # software pipelining: batch i executes on device while batch i-1 is
+        # fetched and scored on the host (the reference's master/worker IO
+        # overlap, KmerExtractor.cpp:113-193, recast as async dispatch)
+        pending = None
         if use_native:
             for names, a1, l1, a2, l2 in self._read_batches_native(path1, p2):
-                res = self.classify_batch_arrays(names, a1, l1, a2, l2)
-                all_results.extend(res)
-                done += len(res)
-                if progress:
-                    progress(done)
+                ctx = self._dispatch_batch(names, a1, l1, a2, l2)
+                if pending is not None:
+                    res = self._finish_batch(pending)
+                    all_results.extend(res)
+                    done += len(res)
+                    if progress:
+                        progress(done)
+                pending = ctx
         else:
             for names, s1, s2 in self._read_batches(path1, p2):
-                res = self.classify_batch(names, s1, s2)
-                all_results.extend(res)
-                done += len(res)
-                if progress:
-                    progress(done)
+                b1, bl1 = self._pad_batch(s1)
+                b2 = bl2 = None
+                if s2 is not None and any(x is not None for x in s2):
+                    b2, bl2 = self._pad_batch(s2)
+                ctx = self._dispatch_batch(names, b1, bl1, b2, bl2)
+                if pending is not None:
+                    res = self._finish_batch(pending)
+                    all_results.extend(res)
+                    done += len(res)
+                    if progress:
+                        progress(done)
+                pending = ctx
+        if pending is not None:
+            res = self._finish_batch(pending)
+            all_results.extend(res)
+            done += len(res)
+            if progress:
+                progress(done)
         return all_results

@@ -222,6 +222,47 @@ class VectorTaxonomer(Taxonomer):
         }
 
     # ------------------------------------------------------------------ #
+    def _filter_redundant_batch(self, m, spans):
+        """Vectorized filterRedundantMatches over many reads at once.
+
+        spans: list of (rid, lo, hi) best-species match ranges.  Per
+        (read, pos//dnaShift) quotient keep the min-hamming matches; the
+        kept taxid is the LCA of all matches achieving the min (the
+        reference's sequential update reduces to exactly this,
+        Taxonomer.cpp:216-234).  Returns {rid: {taxid: count}}.
+        """
+        if not spans:
+            return {}
+        lens = np.array([hi - lo for _, lo, hi in spans], dtype=np.int64)
+        base = np.repeat(np.array([lo for _, lo, _ in spans], dtype=np.int64), lens)
+        offs = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
+        rows = base + offs
+        rid = np.repeat(np.array([r for r, _, _ in spans], dtype=np.int64), lens)
+
+        quot = m["pos"][rows].astype(np.int64) // self.dna_shift
+        ham = m["ham"][rows].astype(np.int64)
+        tax = m["taxid"][rows].astype(np.int64)
+
+        # group = (rid, quot); min hamming per group
+        order = np.lexsort((ham, quot, rid))
+        r_s, q_s, h_s, t_s = rid[order], quot[order], ham[order], tax[order]
+        new_g = np.ones(len(r_s), dtype=bool)
+        new_g[1:] = (r_s[1:] != r_s[:-1]) | (q_s[1:] != q_s[:-1])
+        gid = np.cumsum(new_g) - 1
+        n_groups = int(gid[-1]) + 1 if len(gid) else 0
+        min_h = h_s[new_g]  # first of each group = min (sorted by ham)
+        is_min = h_s == min_h[gid]
+
+        lca = self.taxonomy.lca_reduce(t_s[is_min], gid[is_min], n_groups)
+        g_rid = r_s[new_g]
+
+        out: Dict[int, Dict[int, int]] = {}
+        for g in range(n_groups):
+            d = out.setdefault(int(g_rid[g]), {})
+            t = int(lca[g])
+            d[t] = d.get(t, 0) + 1
+        return out
+
     def _assign(self, m, paths, query_lengths, results: List[ReadResult]):
         qid = m["qid"].astype(np.int64)
         species = m["species"].astype(np.int64)
@@ -246,6 +287,7 @@ class VectorTaxonomer(Taxonomer):
 
         # iterate reads that have paths
         self._last_matches = m
+        deferred = []  # (rid, lo, hi, qlen, score, taxid) pending tax_cnt
         for rid in range(1, n_reads + 1):
             r_paths_sel = np.nonzero(pq == rid)[0]
             res = results[rid - 1]
@@ -318,12 +360,17 @@ class VectorTaxonomer(Taxonomer):
                 res.score = float(score)
                 continue
 
-            # best species match range: all matches of (rid, best_sp)
+            # best species match range: all matches of (rid, best_sp);
+            # redundancy filtering is deferred and batched across reads
             srow = np.searchsorted(sp_qid * (1 << 32) + sp_species, rid * (1 << 32) + best_sp)
-            lo, hi = int(sp_start[srow]), int(sp_end[srow])
-            tax_cnt = self._filter_redundant(m[lo:hi], qlen)
-            res.tax_cnt = tax_cnt
+            deferred.append((rid, int(sp_start[srow]), int(sp_end[srow]), qlen,
+                             score, taxid))
 
+        tax_cnts = self._filter_redundant_batch(m, [(r, lo, hi) for r, lo, hi, _, _, _ in deferred])
+        for rid, lo, hi, qlen, score, taxid in deferred:
+            res = results[rid - 1]
+            tax_cnt = tax_cnts.get(rid, {})
+            res.tax_cnt = tax_cnt
             if score < self.min_sp_score:
                 spn = int(self.taxonomy.species_of(taxid))
                 node = spn if spn else taxid
@@ -331,7 +378,6 @@ class VectorTaxonomer(Taxonomer):
                 res.classification = int(self.taxonomy.parent[node])
                 res.score = float(score)
                 continue
-
             res.is_classified = True
             res.score = float(score)
             res.classification = taxid if self.em else self._lower_rank(tax_cnt, taxid, qlen)

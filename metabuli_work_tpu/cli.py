@@ -28,6 +28,10 @@ def _add_classify_args(p):
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--print-lineage", action="store_true")
     p.add_argument("--max-ram", type=int, default=128)
+    p.add_argument("--print-timers", action="store_true",
+                   help="print per-stage timing table after classification")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace to this directory")
 
 
 def cmd_build(args):
@@ -67,13 +71,19 @@ def cmd_classify(args):
     clf = Classifier(args.dbdir, params)
     print(f"Database loaded: {clf.index.size} k-mers ({time.time()-t0:.1f}s)")
 
+    from .utils.timing import maybe_jax_profile, rss_gb
+
     t0 = time.time()
     reads2 = args.reads2 if args.seq_mode == 2 else None
-    results = clf.classify_file(args.reads1, reads2,
-                                progress=lambda n: print(f"Processed read count   : {n}"))
+    with maybe_jax_profile(args.profile_dir):
+        results = clf.classify_file(args.reads1, reads2,
+                                    progress=lambda n: print(f"Processed read count   : {n}"))
     dt = time.time() - t0
     print(f"Classified {len(results)} reads in {dt:.2f}s ({len(results)/max(dt,1e-9):.0f} reads/s)")
     print(f"Total k-mer match count: {clf.total_match_cnt}")
+    if args.print_timers:
+        print(clf.timer.report())
+        print(f"peak_rss_gb\t{rss_gb():.2f}")
 
     paths = reporter.write_all(args.outdir, args.jobid, results, clf.taxonomy,
                                print_lineage=args.print_lineage)

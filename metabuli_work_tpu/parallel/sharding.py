@@ -32,7 +32,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import encode_jax
 from ..ops.genetic_code import HAMMING_TABLE, KMER_LEN
 
-_HAMMING = None
+# module-level constant: must NOT be created lazily inside a traced
+# function (a tracer would leak into later traces)
+_HAMMING = jnp.asarray(HAMMING_TABLE.astype(np.int32))
 
 
 def make_mesh(n_devices=None, dp=None):
@@ -84,9 +86,6 @@ def _probe_local(q_kmers, q_frames, q_valid, db_values, db_count, db_taxids, db_
 
     Mirrors ops/match_jax.match_kmers but against a padded local shard.
     """
-    global _HAMMING
-    if _HAMMING is None:
-        _HAMMING = jnp.asarray(HAMMING_TABLE.astype(np.int32))
     dna_mask = jnp.uint64((1 << 24) - 1)
     S = db_values.shape[0]
     db_aa = db_values >> jnp.uint64(24)
@@ -161,7 +160,7 @@ def make_sharded_classify_step(mesh: Mesh, cap: int = 16, kmer_format: int = 2,
         merged["match_count"] = jnp.sum(merged["sel"] > 0)
         return merged
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     return jax.jit(
         shard_map(
@@ -174,7 +173,7 @@ def make_sharded_classify_step(mesh: Mesh, cap: int = 16, kmer_format: int = 2,
                 "pos": P("dp"), "frame": P("dp"), "seq_id": P("dp"),
                 "match_count": P(),
             },
-            check_rep=False,
+            check_vma=False,
         )
     )
 
