@@ -306,6 +306,41 @@ def cmd_make_aa_offset(args):
     make_aa_offset(args.dbdir, args.output)
 
 
+def cmd_ictv_format(args):
+    from .report.virus_benchmark import ictv_format
+
+    ictv_format(args.tsv, args.outdir)
+
+
+def cmd_virus_benchmark(args):
+    from .report.virus_benchmark import make_virus_benchmark_set
+
+    make_virus_benchmark_set(args.assembly_list, args.taxdb, args.outdir,
+                             rank=args.rank, exclude_per_rank=args.exclude_per_rank,
+                             seed=args.random_seed)
+
+
+def cmd_uniref2taxonomy(args):
+    """Map UniRef cluster assignments to NCBI taxa via a cluster->taxid
+    TSV (reference src/util/uniref2taxonomy.cpp)."""
+    mapping = {}
+    with open(args.cluster2taxid) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and not line.startswith("#"):
+                mapping[parts[0]] = parts[1]
+    n = 0
+    with open(args.uniref_results) as fin, open(args.output, "w") as fout:
+        header = fin.readline()
+        fout.write(header.rstrip("\n") + "\ttaxID\n")
+        for line in fin:
+            parts = line.rstrip("\n").split("\t")
+            tid = mapping.get(parts[3], "0") if len(parts) > 3 else "0"
+            fout.write(line.rstrip("\n") + f"\t{tid}\n")
+            n += 1
+    print(f"uniref2taxonomy: {n} rows -> {args.output}")
+
+
 def cmd_create_uniref_tree(args):
     from .uniref.tree import UnirefTree
 
@@ -533,6 +568,26 @@ def main(argv=None):
                    help="TSV of new taxa: taxid, parent, rank, name")
     p.add_argument("--max-ram", type=float, default=32.0)
     p.set_defaults(func=cmd_update_db)
+
+    p = sub.add_parser("ictv-format", help="ICTV species list TSV -> taxdump")
+    p.add_argument("tsv")
+    p.add_argument("outdir")
+    p.set_defaults(func=cmd_ictv_format)
+
+    p = sub.add_parser("make-virus-benchmark-set", help="virus exclusion benchmark")
+    p.add_argument("assembly_list")
+    p.add_argument("taxdb")
+    p.add_argument("outdir")
+    p.add_argument("--rank", default="genus")
+    p.add_argument("--exclude-per-rank", type=int, default=1)
+    p.add_argument("--random-seed", type=int, default=42)
+    p.set_defaults(func=cmd_virus_benchmark)
+
+    p = sub.add_parser("uniref2taxonomy", help="attach taxids to UniRef results")
+    p.add_argument("uniref_results")
+    p.add_argument("cluster2taxid")
+    p.add_argument("output")
+    p.set_defaults(func=cmd_uniref2taxonomy)
 
     p = sub.add_parser("databases", help="list prebuilt databases")
     p.add_argument("name", nargs="?", default=None)
