@@ -45,6 +45,7 @@ def cmd_build(args):
         max_ram_gb=args.max_ram,
         write_reference_format=args.reference_format,
         db_name=args.db_name,
+        cds_info_path=args.cds_info,
     )
     print(f"DB creation completed ({time.time()-t0:.1f}s)")
     print(f"Total k-mer count   : {index.size}")
@@ -490,6 +491,8 @@ def main(argv=None):
     p.add_argument("--db-name", default="")
     p.add_argument("--reference-format", action="store_true",
                    help="also write reference-compatible diffIdx/info/split")
+    p.add_argument("--cds-info", default=None,
+                   help="GFF3 or TSV of CDS spans: extract in-frame per block")
     p.set_defaults(func=cmd_build)
 
     p = sub.add_parser("classify", help="classify reads against a database")

@@ -25,10 +25,49 @@ import tempfile
 import numpy as np
 
 from ..io.fasta import read_fasta
-from ..ops.encode_np import extract_target_kmers
+from ..ops.encode_np import extract_target_kmers, scan_frame
 from ..ops import mask as mask_ops
+from ..ops.genetic_code import seq_to_codes
 from ..taxonomy import Taxonomy
 from .format import KmerIndex, export_reference_format, save_index
+
+
+def extract_cds_kmers(seq: str, blocks, syncmer=False, smer_len=5):
+    """In-frame metamers of CDS blocks (start, end 0-based incl, strand)."""
+    codes = seq_to_codes(seq)
+    out = []
+    for start, end, strand in blocks:
+        start = max(0, int(start))
+        end = min(len(codes) - 1, int(end))
+        used = end - start + 1
+        used -= used % 3
+        if used < 24:
+            continue
+        fwd = strand >= 0
+        fk = scan_frame(codes, start if fwd else start + (end - start + 1 - used),
+                        used, fwd, syncmer=syncmer, smer_len=smer_len)
+        out.append(fk.kmers)
+    return np.concatenate(out) if out else np.zeros(0, np.uint64)
+
+
+def load_cds_info(path):
+    """CDS spans per accession: GFF3 (CDS features) or TSV
+    (accession, start, end, strand) with 1-based inclusive coordinates."""
+    blocks = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 8 and parts[2] == "CDS":       # GFF3
+                acc, start, end, strand = parts[0], parts[3], parts[4], parts[6]
+            elif len(parts) >= 4 and parts[1].isdigit():    # simple TSV
+                acc, start, end, strand = parts[0], parts[1], parts[2], parts[3]
+            else:
+                continue
+            blocks.setdefault(acc.split(".")[0], []).append(
+                (int(start) - 1, int(end) - 1, 1 if strand != "-" else -1))
+    return blocks
 
 
 def load_acc2taxid(path):
@@ -102,10 +141,18 @@ class IndexBuilder:
         self._count = 0
         self.observed_taxids = set()
 
-    def add_sequence(self, seq: str, taxid_internal: int):
+    def add_sequence(self, seq: str, taxid_internal: int, cds_blocks=None):
+        """cds_blocks: optional [(start, end, strand)] 0-based inclusive
+        spans; when given, metamers are extracted in-frame per block only
+        (the reference's user-CDS path, IndexCreator.cpp:1088-1121)
+        instead of all six frames of the whole sequence."""
         if self.mask_mode:
             seq = mask_ops.mask_low_complexity(seq, self.mask_prob)
-        kmers = extract_target_kmers(seq, syncmer=self.syncmer, smer_len=self.smer_len)
+        if cds_blocks:
+            kmers = extract_cds_kmers(seq, cds_blocks,
+                                      syncmer=self.syncmer, smer_len=self.smer_len)
+        else:
+            kmers = extract_target_kmers(seq, syncmer=self.syncmer, smer_len=self.smer_len)
         if len(kmers) == 0:
             return 0
         sp = int(self.taxonomy.species_of(taxid_internal))
@@ -182,10 +229,12 @@ def build_database(
     max_ram_gb: float = 32.0,
     write_reference_format: bool = False,
     db_name: str = "",
+    cds_info_path: str = None,
 ):
     """End-to-end `build` command (reference workflow/build.cpp:32-131)."""
     taxonomy = Taxonomy.from_taxdump(taxdump_dir)
     acc2taxid = load_acc2taxid(acc2taxid_path)
+    cds_info = load_cds_info(cds_info_path) if cds_info_path else {}
 
     with open(fasta_list_path) as f:
         fasta_files = [ln.strip() for ln in f if ln.strip()]
@@ -201,7 +250,7 @@ def build_database(
             internal = taxonomy.to_internal(taxid)
             if internal == 0:
                 continue
-            builder.add_sequence(rec.seq, internal)
+            builder.add_sequence(rec.seq, internal, cds_blocks=cds_info.get(acc))
             acc_map_out.append((rec.name, taxid))
 
     index = builder.finalize()

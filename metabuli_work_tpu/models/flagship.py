@@ -52,13 +52,15 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
     from ..ops import compact_jax
 
     kmers, pos, valid = encode_jax.extract_batch(reads1, lens1,
-                                                 syncmer=syncmer, smer_len=smer_len)
+                                                 syncmer=syncmer, smer_len=smer_len,
+                                                 kmer_format=kmer_format)
     b = reads1.shape[0]
     sids = jnp.arange(1, b + 1, dtype=jnp.int32)
     qk, qp, qf, qs, qv = encode_jax.flatten_batch(kmers, pos, valid, sids)
     if paired:
         k2, p2, v2 = encode_jax.extract_batch(reads2, lens2,
-                                              syncmer=syncmer, smer_len=smer_len)
+                                              syncmer=syncmer, smer_len=smer_len,
+                                              kmer_format=kmer_format)
         # mate-2 positions offset by len1 + 3 (KmerExtractor.cpp:341-345)
         p2 = p2 + (lens1 + 3)[:, None, None]
         qk2, qp2, qf2, qs2, qv2 = encode_jax.flatten_batch(k2, p2, v2, sids)

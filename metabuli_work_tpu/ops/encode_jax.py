@@ -41,9 +41,10 @@ def _used_len(lengths):
     return lengths - sub
 
 
-@functools.partial(jax.jit, static_argnames=("syncmer", "smer_len", "k", "aa_only"))
+@functools.partial(jax.jit,
+                   static_argnames=("syncmer", "smer_len", "k", "aa_only", "kmer_format"))
 def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
-                  k: int = KMER_LEN, aa_only: bool = False):
+                  k: int = KMER_LEN, aa_only: bool = False, kmer_format: int = 2):
     """Extract metamers for a batch of reads.
 
     Args:
@@ -54,6 +55,10 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
       k: amino acids per k-mer (8 metamer, 12 dna2aa).
       aa_only: emit AA-only k-mers (no 24-bit DNA part) — the
         KmerScanner_dna2aa family (reference KmerScanner.h:185-261).
+      kmer_format: 2 = current metamer layout; 1 = legacy layout
+        (OldMetamerScanner, KmerScanner.h:120-182): codons scanned
+        right-to-left, AA part packed base-21, swapped pos formulas —
+        needed to search databases converted from the old on-disk format.
 
     Returns:
       kmers  uint64 [B, 6, W] metamer values (garbage where invalid),
@@ -104,33 +109,62 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
             out = out | (v[:, t : t + W] << _U64(bits * (k - 1 - t)))
         return out
 
+    def pack_windows_base21(vals):
+        # legacy AA packing: big-endian base-21 over the window
+        v = vals.astype(_U64)
+        out = jnp.zeros((B, W), dtype=_U64)
+        for t in range(k):
+            out = out * _U64(21) + v[:, t : t + W]
+        return out
+
     kmers_all, pos_all, valid_all = [], [], []
     widx = jnp.arange(W, dtype=jnp.int32)
     for frame in range(6):
         aa, num, cvalid, begin = frame_codons(frame)
+        if kmer_format == 1:
+            # legacy scan order = reversed codon axis (OldMetamerScanner
+            # reads from seqEnd leftward on forward frames)
+            aa = aa[:, ::-1]
+            num = num[:, ::-1]
+            cvalid = cvalid[:, ::-1]
         aa_m = jnp.where(cvalid, aa, 0)
-        aa_part = pack_windows(aa_m, 5)
+        if kmer_format == 1:
+            aa_part = pack_windows_base21(aa_m)
+        else:
+            aa_part = pack_windows(aa_m, 5)
         if aa_only:
             kmers = aa_part
         else:
             num_m = jnp.where(cvalid, num, 0)
             dna_part = pack_windows(num_m, 3)
-            kmers = (aa_part << _U64(24)) | dna_part
+            kmers = (aa_part << _U64(24)) | (dna_part & _U64((1 << 24) - 1))
 
         # window validity: all k codons valid AND window in range
         wv = jnp.ones((B, W), dtype=bool)
         for t in range(k):
             wv = wv & cvalid[:, t : t + W]
-        wv = wv & (widx[None, :] < n_win[:, None])
+        if kmer_format == 1:
+            # flipped axis: window w covers scan positions w-(aa_max-aa_len)..
+            scan_pos = widx[None, :] - (aa_max - aa_len[:, None])
+            wv = wv & (scan_pos >= 0) & (scan_pos < n_win[:, None])
+        else:
+            wv = wv & (widx[None, :] < n_win[:, None])
 
-        if syncmer:
+        if syncmer and kmer_format != 1:
             wv = wv & _syncmer_mask_batch(aa_m, cvalid, W, k, smer_len)
 
-        if frame < 3:
-            pos = begin[:, None] + 3 * widx[None, :]
+        seq_end = begin + used - 1
+        if kmer_format == 1:
+            scan_pos = widx[None, :] - (aa_max - aa_len[:, None])
+            if frame < 3:
+                pos = seq_end[:, None] - 3 * (scan_pos + k) + 1
+            else:
+                pos = begin[:, None] + 3 * scan_pos
         else:
-            seq_end = begin + used - 1
-            pos = seq_end[:, None] - 3 * (widx[None, :] + k) + 1
+            if frame < 3:
+                pos = begin[:, None] + 3 * widx[None, :]
+            else:
+                pos = seq_end[:, None] - 3 * (widx[None, :] + k) + 1
 
         kmers_all.append(kmers)
         pos_all.append(pos.astype(jnp.int32))
