@@ -32,6 +32,8 @@ def _add_classify_args(p):
                    help="print per-stage timing table after classification")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--validate-input", action="store_true",
+                   help="structurally validate FASTA/FASTQ inputs first")
 
 
 def cmd_build(args):
@@ -54,6 +56,15 @@ def cmd_build(args):
 def cmd_classify(args):
     from .classify.pipeline import Classifier, ClassifyParams
     from .report import reporter
+
+    if args.validate_input:
+        from .io.validate import validate_input
+
+        for path in filter(None, [args.reads1, args.reads2]):
+            ok, msg = validate_input(path)
+            print(f"validate {path}: {'OK' if ok else 'INVALID'} ({msg})")
+            if not ok:
+                return 1
 
     params = ClassifyParams(
         seq_mode=args.seq_mode,
@@ -358,6 +369,21 @@ def cmd_create_uniref_db(args):
                     smer_len=args.smer_len)
 
 
+def cmd_unique_kmer(args):
+    from .uniref.db import build_unique_kmer_db
+
+    build_unique_kmer_db(args.dbdir, args.proteins, k=args.kmer_len,
+                         syncmer=bool(args.syncmer), smer_len=args.smer_len)
+
+
+def cmd_validate_input(args):
+    from .io.validate import validate_input
+
+    ok, msg = validate_input(args.path)
+    print(f"{'OK' if ok else 'INVALID'}: {msg}")
+    return 0 if ok else 1
+
+
 def cmd_assign_uniref(args):
     from .uniref.classifier import assign_uniref
 
@@ -658,6 +684,18 @@ def main(argv=None):
     p.add_argument("--syncmer", type=int, default=0)
     p.add_argument("--smer-len", type=int, default=5)
     p.set_defaults(func=cmd_create_uniref_db)
+
+    p = sub.add_parser("create-unique-kmer-list", help="AA k-mers unique to one protein")
+    p.add_argument("dbdir")
+    p.add_argument("proteins")
+    p.add_argument("--kmer-len", type=int, default=12)
+    p.add_argument("--syncmer", type=int, default=0)
+    p.add_argument("--smer-len", type=int, default=5)
+    p.set_defaults(func=cmd_unique_kmer)
+
+    p = sub.add_parser("validate-input", help="structurally validate FASTA/FASTQ")
+    p.add_argument("path")
+    p.set_defaults(func=cmd_validate_input)
 
     p = sub.add_parser("assign_uniref", help="classify proteins over UniRef clusters")
     p.add_argument("queries", help="protein FASTA")

@@ -69,6 +69,74 @@ def decode_deltas(chunks: np.ndarray) -> np.ndarray:
     return np.cumsum(diffs, dtype=np.uint64)
 
 
+def decode_metamer_deltas(chunks: np.ndarray):
+    """Decode the `.mtbl` 96-bit (metamer, id) delta stream.
+
+    Reference: Metamer::substract/add (src/commons/Kmer.h:127-153) +
+    matchMetamers (KmerMatcher.cpp:780-812): each entry is a 96-bit word
+    (metamer_delta << 30 | id_delta) in 15-bit chunks; on accumulation a
+    carry out of the low 30 bits increments the metamer.  Because each
+    step truncates the id to 30 bits, the chain telescopes: with the
+    cumulative low-part sum S_i, id_i = S_i & (2^30-1) and
+    metamer_i = cumsum(high parts) + (S_i >> 30).
+
+    Returns (metamers uint64 [n], ids uint32 [n]).
+    """
+    chunks = np.asarray(chunks, dtype=np.uint16)
+    if len(chunks) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    is_end = (chunks & END_FLAG) != 0
+    ends = np.nonzero(is_end)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    nchunks = ends - starts + 1
+    payload = (chunks & np.uint16(0x7FFF)).astype(np.uint64)
+
+    n = len(ends)
+    # 128-bit accumulate as (hi, lo) u64 pairs
+    d_lo = np.zeros(n, dtype=np.uint64)
+    d_hi = np.zeros(n, dtype=np.uint64)
+    for j in range(int(nchunks.max())):
+        has = nchunks > j
+        p = payload[starts[has] + j]
+        # (hi, lo) = (hi, lo) << 15 | p
+        d_hi[has] = (d_hi[has] << np.uint64(15)) | (d_lo[has] >> np.uint64(49))
+        d_lo[has] = (d_lo[has] << np.uint64(15)) | p
+
+    mask30 = np.uint64((1 << 30) - 1)
+    dlo30 = d_lo & mask30
+    dhi66 = (d_hi << np.uint64(34)) | (d_lo >> np.uint64(30))
+
+    s = np.cumsum(dlo30, dtype=np.uint64)
+    ids = (s & mask30).astype(np.uint32)
+    metamers = np.cumsum(dhi66, dtype=np.uint64) + (s >> np.uint64(30))
+    return metamers, ids
+
+
+def encode_metamer_deltas(metamers: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Inverse of decode_metamer_deltas (for tests / DB export)."""
+    metamers = np.asarray(metamers, dtype=np.uint64)
+    ids = np.asarray(ids, dtype=np.uint64)
+    n = len(metamers)
+    out = []
+    prev_m, prev_i = 0, 0
+    for k in range(n):
+        m, i = int(metamers[k]), int(ids[k])
+        diff = ((m << 30) | i) - ((prev_m << 30) | prev_i)
+        chunks = []
+        while True:
+            chunks.append(diff & 0x7FFF)
+            diff >>= 15
+            if diff == 0:
+                break
+        chunks.reverse()
+        chunks[-1] |= 0x8000
+        out.extend(chunks)
+        prev_m, prev_i = m, i
+    return np.array(out, dtype=np.uint16)
+
+
 def count_entries(chunks: np.ndarray) -> int:
     """Number of encoded values (= end-flagged chunks); used by validatedb
     (reference src/util/validateDatabase.cpp:103-130)."""

@@ -138,11 +138,23 @@ def export_reference_format(db_dir, index: KmerIndex):
 
 
 def import_reference_format(db_dir, taxonomy: Taxonomy, meta=None) -> KmerIndex:
-    """Read a reference diffIdx/info pair into the native in-memory index."""
-    chunks = np.fromfile(os.path.join(db_dir, "diffIdx"), dtype="<u2")
-    infos = np.fromfile(os.path.join(db_dir, "info"), dtype="<u4")
-    values = decode_deltas(chunks)
-    taxids = (infos & np.uint32(0x7FFFFFFF)).astype(np.int32)
+    """Read a reference DB into the native in-memory index.
+
+    Handles both on-disk layouts: old diffIdx/info (64-bit value deltas +
+    uint32 taxid stream) and the newer deltaIdx.mtbl (96-bit metamer+id
+    joint deltas, read by matchMetamers — KmerMatcher.cpp:780-812)."""
+    mtbl = os.path.join(db_dir, "deltaIdx.mtbl")
+    if os.path.exists(mtbl):
+        from .delta import decode_metamer_deltas
+
+        chunks = np.fromfile(mtbl, dtype="<u2")
+        values, ids = decode_metamer_deltas(chunks)
+        taxids = ids.astype(np.int32)
+    else:
+        chunks = np.fromfile(os.path.join(db_dir, "diffIdx"), dtype="<u2")
+        infos = np.fromfile(os.path.join(db_dir, "info"), dtype="<u4")
+        values = decode_deltas(chunks)
+        taxids = (infos & np.uint32(0x7FFFFFFF)).astype(np.int32)
     species = taxonomy.species_of(taxids).astype(np.int32)
     species = np.where(species == 0, taxids, species).astype(np.int32)
     return KmerIndex(values, taxids, species, taxonomy, meta or {})

@@ -23,6 +23,58 @@ def _entry_cluster_name(header_name: str) -> str:
     return header_name if header_name.startswith("UniRef") else "UniRef100_" + header_name
 
 
+def build_unique_kmer_db(db_dir, protein_fasta, k: int = 12,
+                         syncmer: bool = False, smer_len: int = 5):
+    """AA k-mers unique to a single protein (`create-unique-kmer-list`).
+
+    Reference: IndexCreator::createUniqueKmerIndex with FilterMode::
+    UNIQ_KMER (IndexCreator.cpp:151-229, IndexCreator.h:566-574): keep a
+    k-mer iff every occurrence carries the same sequence id.
+    """
+    values, ids, names = [], [], []
+    for idx, rec in enumerate(read_fasta(protein_fasta)):
+        km, _ = extract_protein_kmers(rec.seq, k=k, syncmer=syncmer, smer_len=smer_len)
+        if not len(km):
+            continue
+        values.append(km)
+        ids.append(np.full(len(km), idx, dtype=np.int64))
+        names.append(rec.name)
+    if values:
+        v = np.concatenate(values)
+        t = np.concatenate(ids)
+    else:
+        v = np.zeros(0, np.uint64)
+        t = np.zeros(0, np.int64)
+    order = np.lexsort((t, v))
+    v, t = v[order], t[order]
+    first = np.ones(len(v), dtype=bool)
+    first[1:] = v[1:] != v[:-1]
+    gid = np.cumsum(first) - 1
+    n_groups = int(gid[-1]) + 1 if len(v) else 0
+    mins = np.full(n_groups, np.iinfo(np.int64).max)
+    maxs = np.full(n_groups, -1)
+    np.minimum.at(mins, gid, t)
+    np.maximum.at(maxs, gid, t)
+    unique = mins == maxs
+    out_v = v[first][unique]
+    out_id = t[first][unique]
+
+    os.makedirs(db_dir, exist_ok=True)
+    np.save(os.path.join(db_dir, "kmers.npy"), out_v)
+    np.save(os.path.join(db_dir, "infos.npy"), out_id.astype(np.int64))
+    with open(os.path.join(db_dir, "seq_names.tsv"), "w") as f:
+        for i, nm in enumerate(names):
+            f.write(f"{i}\t{nm}\n")
+    with open(os.path.join(db_dir, "db.meta.json"), "w") as f:
+        json.dump({"db_type": "unique_kmer", "kmer_format": 4, "kmer_len": k,
+                   "syncmer": syncmer, "smer_len": smer_len,
+                   "kmer_count": int(len(out_v)),
+                   "creation_date": time.strftime("%Y-%m-%d")}, f, indent=2)
+    print(f"create-unique-kmer-list: {len(out_v)} unique k-mers "
+          f"from {len(names)} proteins -> {db_dir}")
+    return out_v, out_id
+
+
 def build_uniref_db(db_dir, protein_fasta, tree_path, k: int = 12,
                     syncmer: bool = False, smer_len: int = 5):
     tree = UnirefTree.load(tree_path)
