@@ -112,6 +112,7 @@ def main():
                                     min_score=0.15, min_sp_score=0.5)
     clf.total_match_cnt = 0
     clf.timer = StageTimer()
+    clf._fetch_estimate = 1 << 17
 
     names = [f"r{i}" for i in range(BATCH)]
     seqs = ["".join(map(chr, row)) for row in reads[:BATCH]]

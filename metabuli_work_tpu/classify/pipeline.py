@@ -94,6 +94,7 @@ class Classifier:
         )
         self.total_match_cnt = 0
         self.timer = StageTimer()
+        self._fetch_estimate = 1 << 17  # rows; adapts to observed match counts
 
     # ------------------------------------------------------------------ #
     def _read_batches(self, path1, path2=None) -> Iterator[tuple]:
@@ -204,10 +205,19 @@ class Classifier:
                 cap=cap, kmer_format=self.kmer_format,
                 syncmer=self.syncmer, smer_len=self.smer_len, paired=paired,
             )
+            # start the device->host copy of an estimated match prefix NOW so
+            # the transfer overlaps the host scoring of the previous batch
+            est = min(self._fetch_estimate, packed.shape[1])
+            prefix = packed[:, :est]
+            try:
+                prefix.copy_to_host_async()
+            except AttributeError:
+                pass
         return {
             "names": names, "l1": l1, "l2": l2, "cap": cap,
             "a1": a1, "a2": a2,
             "overflow": overflow, "packed": (packed, count),
+            "prefix": prefix, "est": est,
         }
 
     def _finish_batch(self, ctx):
@@ -224,7 +234,15 @@ class Classifier:
         names, l1, l2 = ctx["names"], ctx["l1"], ctx["l2"]
         B = len(names)
         with self.timer.stage("fetch"):
-            arr = compact_jax.fetch_compacted(ctx["packed"])
+            n = int(ctx["packed"][1])
+            if n <= ctx["est"]:
+                arr = np.asarray(ctx["prefix"])[:, :n]
+            else:  # estimate too small; fall back to a full-prefix fetch
+                arr = compact_jax.fetch_compacted(ctx["packed"])
+            quantum = 1 << 15
+            self._fetch_estimate = max(
+                quantum, min(-(-int(n * 1.5) // quantum) * quantum,
+                             ctx["packed"][0].shape[1]))
         with self.timer.stage("decode+sort"):
             m = compact_jax.decode_matches(arr, MATCH_DTYPE)
             m = sort_matches(m)

@@ -46,8 +46,27 @@ MATCH_DTYPE = np.dtype(
 
 
 def sort_matches(m: np.ndarray) -> np.ndarray:
-    """Total order of reference compareMatches (KmerMatcher.cpp:1149-1166)."""
-    order = np.lexsort((m["dna"], m["ham"], m["pos"], m["frame"], m["species"], m["qid"]))
+    """Total order of reference compareMatches (KmerMatcher.cpp:1149-1166).
+
+    Packs the six fields into two u64 keys (qid|species, then
+    frame|pos|ham|dna) so the lexsort runs two passes instead of six.
+    Falls back to the field-wise sort when pos exceeds 24 bits
+    (reads/offsets beyond 16 Mnt).
+    """
+    if len(m) == 0:
+        return m
+    pos = m["pos"].astype(np.uint64)
+    if pos.max() < (1 << 24):
+        k1 = (m["qid"].astype(np.uint64) << np.uint64(32)) | m["species"].astype(np.uint64)
+        k2 = (
+            (m["frame"].astype(np.uint64) << np.uint64(54))
+            | (pos << np.uint64(30))
+            | (m["ham"].astype(np.uint64) << np.uint64(24))
+            | m["dna"].astype(np.uint64)
+        )
+        order = np.lexsort((k2, k1))
+    else:
+        order = np.lexsort((m["dna"], m["ham"], m["pos"], m["frame"], m["species"], m["qid"]))
     return m[order]
 
 

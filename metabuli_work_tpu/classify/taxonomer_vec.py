@@ -279,43 +279,54 @@ class VectorTaxonomer(Taxonomer):
         sp_qid = qid[sp_start]
         sp_species = species[sp_start]
 
-        # group paths by (qid, species) — paths arrive ordered by match
-        # index, which is (qid, species, frame, pos) order = species order
-        p_order = np.argsort(paths["idx"], kind="stable")
-        pq = paths["qid"][p_order]
-        ps = paths["species"][p_order]
+        # paths arrive ordered by match index = (qid, species, frame, pos)
+        # order, so both read spans and species runs are contiguous
+        pq = paths["qid"]
+        ps = paths["species"]
+        read_bounds = np.searchsorted(pq, np.arange(1, n_reads + 2))
+        sp_run_start = np.nonzero(
+            np.concatenate([[True], (pq[1:] != pq[:-1]) | (ps[1:] != ps[:-1])])
+        )[0] if len(pq) else np.zeros(0, np.int64)
+        sp_run_end = np.append(sp_run_start[1:], len(pq))
+
+        p_start = paths["start"]
+        p_end = paths["end"]
+        p_score = paths["score"]
+        p_ham = paths["hamming"]
+        p_depth = paths["depth"]
+        p_sidx = paths["start_idx"]
+        p_eidx = paths["end_idx"]
 
         # iterate reads that have paths
         self._last_matches = m
         deferred = []  # (rid, lo, hi, qlen, score, taxid) pending tax_cnt
         for rid in range(1, n_reads + 1):
-            r_paths_sel = np.nonzero(pq == rid)[0]
+            plo, phi = read_bounds[rid - 1], read_bounds[rid]
             res = results[rid - 1]
             qlen = int(query_lengths[rid])
-            if len(r_paths_sel) == 0:
+            if plo == phi:
                 continue
 
             sp2score = []
             best_sp_score = _f32(0.0)
             best_sp = None
             meaningful = 0
-            # species in order of appearance
-            sp_ids = ps[r_paths_sel]
-            uniq_sp, first_pos = np.unique(sp_ids, return_index=True)
-            order = np.argsort(first_pos)
-            for sp in uniq_sp[order]:
-                psel = r_paths_sel[sp_ids == sp]
+            run0 = int(np.searchsorted(sp_run_start, plo))
+            run1 = int(np.searchsorted(sp_run_start, phi))
+            for run in range(run0, run1):
+                a, b = int(sp_run_start[run]), int(sp_run_end[run])
+                sp = ps[a]
                 plist = [
                     MatchPath(
-                        start=int(paths["start"][p_order[j]]),
-                        end=int(paths["end"][p_order[j]]),
-                        score=paths["score"][p_order[j]],
-                        hamming=int(paths["hamming"][p_order[j]]),
-                        depth=int(paths["depth"][p_order[j]]),
-                        start_idx=int(paths["start_idx"][p_order[j]]),
-                        end_idx=int(paths["end_idx"][p_order[j]]),
+                        start=int(p_start[j]),
+                        end=int(p_end[j]),
+                        score=p_score[j],
+                        hamming=int(p_ham[j]),
+                        depth=int(p_depth[j]),
+                        start_idx=int(p_sidx[j]),
+                        end_idx=int(p_eidx[j]),
                     )
-                    for j in psel
+                    for j in range(a, b)
                 ]
                 sc = self._combine_paths(plist, qlen)
                 sc = min(sc, _f32(1.0))
