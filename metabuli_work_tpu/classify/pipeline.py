@@ -95,6 +95,25 @@ class Classifier:
         self.total_match_cnt = 0
         self.timer = StageTimer()
         self._fetch_estimate = 1 << 17  # rows; adapts to observed match counts
+        self._path_estimate = 1 << 14   # emitted-path rows
+        self._init_device_dp()
+
+    def _init_device_dp(self):
+        """Device path-DP flow: valid when minConsCnt >= 2 (see ops/dp_jax)."""
+        import jax.numpy as jnp
+
+        p = self.params
+        self.use_device_dp = p.min_cons_cnt >= 2 and p.min_cons_cnt_euk >= 2
+        if not self.use_device_dp:
+            self.euk_species = None
+            return
+        n = self.taxonomy.num_nodes()
+        euk = self.taxonomy.eukaryota_id()
+        if euk:
+            mask = np.asarray(self.taxonomy.is_ancestor(euk, np.arange(n)))
+        else:
+            mask = np.zeros(n, dtype=bool)
+        self.euk_species = jnp.asarray(mask)
 
     # ------------------------------------------------------------------ #
     def _read_batches(self, path1, path2=None) -> Iterator[tuple]:
@@ -177,6 +196,132 @@ class Classifier:
 
     # -- async halves: dispatch launches device work, finish pulls + scores
     def _dispatch_batch(self, names, a1, l1, a2=None, l2=None, cap=None):
+        if self.use_device_dp:
+            return self._dispatch_batch_dp(names, a1, l1, a2, l2, cap)
+        return self._dispatch_batch_host(names, a1, l1, a2, l2, cap)
+
+    def _finish_batch(self, ctx):
+        if ctx.get("dp"):
+            return self._finish_batch_dp(ctx)
+        return self._finish_batch_host(ctx)
+
+    def _prep_arrays(self, a1, l1, a2, l2, B):
+        import jax.numpy as jnp
+
+        l1 = np.minimum(np.asarray(l1, dtype=np.int32), a1.shape[1])
+        lmax1 = _bucket_len(int(l1.max()) if B else 1)
+        r1 = jnp.asarray(np.ascontiguousarray(a1[:, :lmax1]))
+        j1 = jnp.asarray(l1)
+        paired = a2 is not None
+        if paired:
+            l2 = np.minimum(np.asarray(l2, dtype=np.int32), a2.shape[1])
+            lmax2 = _bucket_len(int(l2.max()) if B else 1)
+            r2 = jnp.asarray(np.ascontiguousarray(a2[:, :lmax2]))
+            j2 = jnp.asarray(l2)
+        else:
+            l2 = None
+            r2 = jnp.zeros((B, 96), dtype=jnp.uint8)
+            j2 = jnp.zeros(B, dtype=jnp.int32)
+        return r1, j1, r2, j2, l1, l2, paired
+
+    def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None):
+        from ..models.flagship import fused_step_dp
+
+        B = len(names)
+        cap = cap or self.cap
+        with self.timer.stage("dispatch"):
+            r1, j1, r2, j2, l1, l2, paired = self._prep_arrays(a1, l1, a2, l2, B)
+            paths_packed, paths_count, overflow, resident = fused_step_dp(
+                r1, j1, r2, j2,
+                self.db_values, self.db_taxids, self.db_species,
+                self.euk_species,
+                min_cons=int(self.params.min_cons_cnt),
+                min_cons_euk=int(self.params.min_cons_cnt_euk),
+                cap=cap, kmer_format=self.kmer_format,
+                syncmer=self.syncmer, smer_len=self.smer_len, paired=paired,
+            )
+            est = min(self._path_estimate, paths_packed.shape[1])
+            prefix = paths_packed[:, :est]
+            try:
+                prefix.copy_to_host_async()
+            except AttributeError:
+                pass
+        return {
+            "dp": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
+            "a1": a1, "a2": a2, "overflow": overflow,
+            "paths": (paths_packed, paths_count), "prefix": prefix, "est": est,
+            "resident": resident,
+        }
+
+    def _finish_batch_dp(self, ctx):
+        from ..models.flagship import fetch_best_species_matches
+        from ..ops import dp_jax
+        from .taxonomer import ReadResult as RR
+
+        while int(ctx["overflow"]) > 0 and ctx["cap"] < self.index.max_aa_run():
+            cap = min(ctx["cap"] * 2, self.index.max_aa_run())
+            self.cap = max(self.cap, cap)
+            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
+                                          ctx["a2"], ctx["l2"], cap=cap)
+
+        names, l1, l2 = ctx["names"], ctx["l1"], ctx["l2"]
+        B = len(names)
+        with self.timer.stage("fetch"):
+            n = int(ctx["paths"][1])
+            if n <= ctx["est"]:
+                arr = np.asarray(ctx["prefix"])[:, :n]
+            else:
+                arr = np.asarray(ctx["paths"][0][:, :n])
+            quantum = 1 << 12
+            self._path_estimate = max(quantum, -(-int(n * 1.5) // quantum) * quantum)
+
+        with self.timer.stage("score"):
+            paths = dp_jax.decode_paths(arr)
+            qid = (paths["g"] // 6 + 1).astype(np.int64)
+            frame = (paths["g"] % 6).astype(np.int64)
+            # reference emission order per (read, species): frame asc, pos asc
+            order = np.lexsort((np.arange(len(qid)), paths["end"], frame,
+                                paths["species"], qid))
+            pa = {
+                "qid": qid[order], "species": paths["species"][order],
+                "start": paths["start"][order], "end": paths["end"][order],
+                "score": paths["score"][order], "hamming": paths["hamming"][order],
+                "rh_start": paths["rh_start"][order], "rh_end": paths["rh_end"][order],
+            }
+            results = [RR() for _ in range(B)]
+            lens1 = np.asarray(l1)
+            lens2 = np.asarray(l2) if l2 is not None else np.zeros(B, dtype=np.int32)
+            qlens = np.zeros(B + 1, dtype=np.int64)
+            qlens[1:] = lens1 + lens2
+            deferred = self.taxonomer.score_paths(pa, qlens, results)
+
+        with self.timer.stage("redundancy"):
+            if deferred:
+                best_sp = np.zeros(B + 1, dtype=np.int32)
+                for rid, _, _, taxid in deferred:
+                    best_sp[rid] = taxid
+                import jax.numpy as jnp
+
+                sel, species, ham, taxid_t, q_pos, q_sids = ctx["resident"]
+                packed2, count2 = fetch_best_species_matches(
+                    sel, species, ham, taxid_t, q_pos, q_sids,
+                    jnp.asarray(best_sp))
+                n2 = int(count2)
+                m2 = np.asarray(packed2[:, :n2])
+                self.total_match_cnt += n2
+                tax_cnts = self.taxonomer.filter_redundant_arrays(
+                    m2[0].astype(np.int64), m2[1].astype(np.int64),
+                    m2[2].astype(np.int64), m2[3].astype(np.int64))
+                self.taxonomer.finish_with_taxcnt(deferred, tax_cnts, qlens, results)
+
+        out = []
+        for i in range(B):
+            qr = QueryRecord(names[i], int(lens1[i]), int(lens2[i]))
+            qr.result = results[i]
+            out.append(qr)
+        return out
+
+    def _dispatch_batch_host(self, names, a1, l1, a2=None, l2=None, cap=None):
         import jax.numpy as jnp
 
         from ..models.flagship import fused_step
@@ -220,7 +365,7 @@ class Classifier:
             "prefix": prefix, "est": est,
         }
 
-    def _finish_batch(self, ctx):
+    def _finish_batch_host(self, ctx):
         from ..ops import compact_jax
         from .taxonomer import sort_matches
 

@@ -117,8 +117,9 @@ class MatchPath:
     score: np.float32
     hamming: int
     depth: int
-    start_idx: int  # index into the read's match array (startMatch)
-    end_idx: int    # endMatch
+    rh_start: int   # packed per-codon hammings of the startMatch
+    rh_end: int     # ... of the endMatch (trimming needs both,
+                    # Taxonomer.cpp:475-485)
 
 
 @dataclass
@@ -277,8 +278,8 @@ class Taxonomer:
                 score=_match_score(int(m["rh"][idx])),
                 hamming=int(m["ham"][idx]),
                 depth=1,
-                start_idx=idx,
-                end_idx=idx,
+                rh_start=int(m["rh"][idx]),
+                rh_end=int(m["rh"][idx]),
             )
 
         i = start
@@ -327,7 +328,7 @@ class Taxonomer:
                         np_loc.score = best_path.score + inc
                         np_loc.hamming = best_path.hamming + _hamming_increment(int(m["rh"][nxt]), shift)
                         np_loc.depth = best_path.depth + shift
-                        np_loc.start_idx = best_path.start_idx
+                        np_loc.rh_start = best_path.rh_start
 
             for cur in range(cur_s, cur_e):
                 if not connected[cur - start] and local[cur - start].depth >= min_depth:
@@ -338,11 +339,8 @@ class Taxonomer:
                         out.append(local[nxt - start])
             cur_s, cur_e, curr_pos = nxt_s, nxt_e, next_pos
 
-        self._last_matches = m  # for trim (endMatch rh lookups)
-
     # ------------------------------------------------------------------ #
     def _combine_paths(self, paths: List[MatchPath], read_length: int) -> np.float32:
-        m = self._last_matches
         paths.sort(key=lambda p: (-float(p.score), p.hamming, -p.start))
         combined: List[MatchPath] = []
         score = np.float32(0.0)
@@ -363,14 +361,12 @@ class Taxonomer:
                     # trim p against c (Taxonomer.cpp:475-485)
                     if p.start < c.start:
                         p.end = c.start - 1
-                        rh = int(m["rh"][p.end_idx])
-                        p.hamming = max(0, p.hamming - _right_part_ham(rh, ov // 3))
-                        p.score = p.score - _right_part_score(rh, ov // 3) - np.float32(ov % 3)
+                        p.hamming = max(0, p.hamming - _right_part_ham(p.rh_end, ov // 3))
+                        p.score = p.score - _right_part_score(p.rh_end, ov // 3) - np.float32(ov % 3)
                     else:
                         p.start = c.end + 1
-                        rh = int(m["rh"][p.start_idx])
-                        p.hamming = max(0, p.hamming - _left_part_ham(rh, ov // 3))
-                        p.score = p.score - _left_part_score(rh, ov // 3) - np.float32(ov % 3)
+                        p.hamming = max(0, p.hamming - _left_part_ham(p.rh_start, ov // 3))
+                        p.score = p.score - _left_part_score(p.rh_start, ov // 3) - np.float32(ov % 3)
                     continue
                 overlapped = True
                 break

@@ -115,7 +115,7 @@ class VectorTaxonomer(Taxonomer):
         depth = np.ones(n, dtype=np.int64)
         hamming = m["ham"].astype(np.int64)
         start = pos.copy()
-        start_idx = np.arange(n, dtype=np.int64)
+        rh_start = rh.astype(np.int64).copy()
         connected = np.zeros(n, dtype=bool)
 
         # eligible frame groups: size > 1 (reference getBestSpeciesMatches
@@ -189,7 +189,7 @@ class VectorTaxonomer(Taxonomer):
             depth[mi] = np.where(any_ok, depth[bp] + sh, depth[mi])
             hamming[mi] = np.where(any_ok, hamming[bp] + hinc, hamming[mi])
             start[mi] = np.where(any_ok, start[bp], start[mi])
-            start_idx[mi] = np.where(any_ok, start_idx[bp], start_idx[mi])
+            rh_start[mi] = np.where(any_ok, rh_start[bp], rh_start[mi])
 
         # emission
         next_pg_same = np.zeros(n_pg, dtype=bool)
@@ -215,8 +215,8 @@ class VectorTaxonomer(Taxonomer):
             "score": score[idx],
             "hamming": hamming[idx],
             "depth": depth[idx],
-            "start_idx": start_idx[idx],
-            "end_idx": idx,
+            "rh_start": rh_start[idx],
+            "rh_end": rh[idx].astype(np.int64),
             "qid": qid[idx],
             "species": species[idx],
         }
@@ -238,10 +238,14 @@ class VectorTaxonomer(Taxonomer):
         offs = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
         rows = base + offs
         rid = np.repeat(np.array([r for r, _, _ in spans], dtype=np.int64), lens)
+        return self.filter_redundant_arrays(
+            rid, m["pos"][rows].astype(np.int64), m["ham"][rows].astype(np.int64),
+            m["taxid"][rows].astype(np.int64))
 
-        quot = m["pos"][rows].astype(np.int64) // self.dna_shift
-        ham = m["ham"][rows].astype(np.int64)
-        tax = m["taxid"][rows].astype(np.int64)
+    def filter_redundant_arrays(self, rid, pos, ham, tax):
+        """Core of the batched redundancy filter on flat arrays
+        (rows already restricted to each read's best species)."""
+        quot = pos // self.dna_shift
 
         # group = (rid, quot); min hamming per group
         order = np.lexsort((ham, quot, rid))
@@ -264,21 +268,35 @@ class VectorTaxonomer(Taxonomer):
         return out
 
     def _assign(self, m, paths, query_lengths, results: List[ReadResult]):
+        """Host flow: score paths, then redundancy-filter from the full
+        match array."""
+        deferred = self.score_paths(paths, query_lengths, results)
+
         qid = m["qid"].astype(np.int64)
         species = m["species"].astype(np.int64)
-
-        # per-read match span
-        n_reads = len(results)
-        read_lo = np.searchsorted(qid, np.arange(1, n_reads + 2))
-
-        # species spans within reads (matches sorted by qid, species)
         new_sp = np.ones(len(m), dtype=bool)
         new_sp[1:] = (qid[1:] != qid[:-1]) | (species[1:] != species[:-1])
         sp_start = np.nonzero(new_sp)[0]
         sp_end = np.append(sp_start[1:], len(m))
-        sp_qid = qid[sp_start]
-        sp_species = species[sp_start]
+        sp_key = qid[sp_start] * (1 << 32) + species[sp_start]
 
+        spans = []
+        for rid, qlen, score, taxid in deferred:
+            srow = np.searchsorted(sp_key, rid * (1 << 32) + taxid)
+            spans.append((rid, int(sp_start[srow]), int(sp_end[srow])))
+        tax_cnts = self._filter_redundant_batch(m, spans)
+        self.finish_with_taxcnt(deferred, tax_cnts, query_lengths, results)
+
+    # ------------------------------------------------------------------ #
+    def score_paths(self, paths, query_lengths, results: List[ReadResult]):
+        """Per-read species scoring from path arrays alone.
+
+        paths: dict of arrays ordered by (qid asc; species contiguous
+        within a read; reference emission order within a species run).
+        Returns deferred = [(rid, qlen, score, best_species)] for reads
+        that need the redundancy-filter + lower-rank stage.
+        """
+        n_reads = len(results)
         # paths arrive ordered by match index = (qid, species, frame, pos)
         # order, so both read spans and species runs are contiguous
         pq = paths["qid"]
@@ -293,12 +311,14 @@ class VectorTaxonomer(Taxonomer):
         p_end = paths["end"]
         p_score = paths["score"]
         p_ham = paths["hamming"]
-        p_depth = paths["depth"]
-        p_sidx = paths["start_idx"]
-        p_eidx = paths["end_idx"]
+        # depth is only an emission filter; device-emitted paths omit it
+        p_depth = paths.get("depth")
+        if p_depth is None:
+            p_depth = np.zeros(len(pq), dtype=np.int64)
+        p_rhs = paths["rh_start"]
+        p_rhe = paths["rh_end"]
 
         # iterate reads that have paths
-        self._last_matches = m
         deferred = []  # (rid, lo, hi, qlen, score, taxid) pending tax_cnt
         for rid in range(1, n_reads + 1):
             plo, phi = read_bounds[rid - 1], read_bounds[rid]
@@ -323,8 +343,8 @@ class VectorTaxonomer(Taxonomer):
                         score=p_score[j],
                         hamming=int(p_ham[j]),
                         depth=int(p_depth[j]),
-                        start_idx=int(p_sidx[j]),
-                        end_idx=int(p_eidx[j]),
+                        rh_start=int(p_rhs[j]),
+                        rh_end=int(p_rhe[j]),
                     )
                     for j in range(a, b)
                 ]
@@ -371,14 +391,13 @@ class VectorTaxonomer(Taxonomer):
                 res.score = float(score)
                 continue
 
-            # best species match range: all matches of (rid, best_sp);
-            # redundancy filtering is deferred and batched across reads
-            srow = np.searchsorted(sp_qid * (1 << 32) + sp_species, rid * (1 << 32) + best_sp)
-            deferred.append((rid, int(sp_start[srow]), int(sp_end[srow]), qlen,
-                             score, taxid))
+            # best species (= taxid here); redundancy filtering happens in
+            # a later batched phase (host match array OR device fetch)
+            deferred.append((rid, qlen, score, taxid))
+        return deferred
 
-        tax_cnts = self._filter_redundant_batch(m, [(r, lo, hi) for r, lo, hi, _, _, _ in deferred])
-        for rid, lo, hi, qlen, score, taxid in deferred:
+    def finish_with_taxcnt(self, deferred, tax_cnts, query_lengths, results):
+        for rid, qlen, score, taxid in deferred:
             res = results[rid - 1]
             tax_cnt = tax_cnts.get(rid, {})
             res.tax_cnt = tax_cnt

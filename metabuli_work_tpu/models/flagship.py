@@ -75,6 +75,117 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
     return packed, count, out["overflow"]
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
+    "paired"))
+def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
+                  db_species, euk_species, min_cons: int = 4,
+                  min_cons_euk: int = 9,
+                  cap: int = 16, kmer_format: int = 2,
+                  syncmer: bool = False, smer_len: int = 5,
+                  paired: bool = False):
+    """Full device pipeline WITH on-device path DP.
+
+    extract (+mate2) -> probe -> per-window candidate sort -> path DP ->
+    path compaction.  The host receives emitted MatchPaths (10-100x fewer
+    than matches) plus resident match tensors for the later best-species
+    redundancy fetch.
+
+    euk_species: bool [n_taxonomy_nodes] — species under Eukaryota get
+    minConsCntEuk (reference Taxonomer.cpp:497-500).
+
+    Returns (paths_packed [7, P], paths_count, overflow, resident) where
+    resident = (sel, species, ham, taxid, q_pos, q_sids) kept on device.
+    """
+    from ..ops import compact_jax, dp_jax
+
+    k1, p1, v1 = encode_jax.extract_batch(reads1, lens1, syncmer=syncmer,
+                                          smer_len=smer_len, kmer_format=kmer_format)
+    b = reads1.shape[0]
+    sids = jnp.arange(1, b + 1, dtype=jnp.int32)
+    parts = [encode_jax.flatten_batch(k1, p1, v1, sids)]
+    shapes = [k1.shape]  # (B, 6, W)
+    if paired:
+        k2, p2, v2 = encode_jax.extract_batch(reads2, lens2, syncmer=syncmer,
+                                              smer_len=smer_len, kmer_format=kmer_format)
+        p2 = p2 + (lens1 + 3)[:, None, None]
+        parts.append(encode_jax.flatten_batch(k2, p2, v2, sids))
+        shapes.append(k2.shape)
+    else:
+        # keep the dummy mate-2 parameters alive so XLA's unused-parameter
+        # DCE cannot change the executable's buffer arity across cache hits
+        tie = jnp.where(lens2[0] < 0, reads2[0, 0].astype(jnp.int32), 0)
+        sids = sids + tie
+
+    qk = jnp.concatenate([p[0] for p in parts])
+    qp = jnp.concatenate([p[1] for p in parts])
+    qf = jnp.concatenate([p[2] for p in parts])
+    qs = jnp.concatenate([p[3] for p in parts])
+    qv = jnp.concatenate([p[4] for p in parts])
+
+    out = match_jax.match_kmers(qk, qf, qv, db_values, db_taxids, db_species,
+                                cap=cap, kmer_format=kmer_format)
+
+    max_shift = (8 - smer_len) if syncmer else 1
+    packed_parts = []
+    sel_parts = []
+    offset = 0
+    for (B, F, W) in shapes:
+        n = B * F * W
+        sl = slice(offset, offset + n)
+        offset += n
+        resh = lambda a: a[sl].reshape(B * F, W, cap)
+        fields = {
+            "sel": resh(out["sel"]),
+            "species": resh(out["species"]),
+            "dna": resh(out["dna_enc"]),
+            "rh": resh(out["rh"]),
+            "ham": resh(out["hamming"]),
+            "pos": jnp.broadcast_to(qp[sl].reshape(B * F, W, 1), (B * F, W, cap)),
+        }
+        fields = dp_jax.sort_candidates(fields, fields["sel"], fields["ham"],
+                                        fields["dna"])
+        md = jnp.where(euk_species[jnp.clip(fields["species"], 0, euk_species.shape[0] - 1)],
+                       jnp.int32(min_cons_euk), jnp.int32(min_cons))
+        dp = dp_jax.path_dp(fields["sel"], fields["species"], fields["dna"],
+                            fields["rh"], fields["ham"], fields["pos"], md,
+                            max_shift=max_shift, kmer_format=kmer_format)
+        cols, psel = dp_jax.pack_paths(dp)
+        packed_parts.append(cols)
+        sel_parts.append(psel)
+
+    cols = jnp.concatenate(packed_parts, axis=1)
+    psel = jnp.concatenate(sel_parts)
+    paths_packed, paths_count = dp_jax.compact_columns(cols, psel)
+
+    resident = (out["sel"], out["species"], out["hamming"], out["taxid"], qp, qs)
+    return paths_packed, paths_count, out["overflow"], resident
+
+
+@jax.jit
+def fetch_best_species_matches(sel, species, ham, taxid, q_pos, q_sids,
+                               best_sp_per_read):
+    """Phase 2: compact matches of each read's best species.
+
+    best_sp_per_read: int32 [B+1] (index by 1-based read id; 0 = none).
+    Returns packed int32 [4, N*cap] (qid, pos, ham, taxid) + count.
+    """
+    from ..ops import dp_jax
+
+    N, cap = sel.shape
+    qid = jnp.broadcast_to(q_sids[:, None], (N, cap))
+    want = best_sp_per_read[qid]
+    sel2 = sel & (species == want) & (want > 0)
+    flat = lambda a: a.reshape(N * cap)
+    cols = jnp.stack([
+        flat(qid.astype(jnp.int32)),
+        flat(jnp.broadcast_to(q_pos[:, None], (N, cap)).astype(jnp.int32)),
+        flat(ham.astype(jnp.int32)),
+        flat(taxid.astype(jnp.int32)),
+    ])
+    return dp_jax.compact_columns(cols, flat(sel2))
+
+
 def synthetic_db(n_kmers=4096, n_species=8, seed=0):
     """Small synthetic sorted index for compile checks and dry runs."""
     import numpy as np

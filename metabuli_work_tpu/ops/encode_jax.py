@@ -23,10 +23,12 @@ import numpy as np
 from .genetic_code import CODON2AA, CODON2NUM, COMP_CODE, KMER_LEN, NUC_CODE
 
 _U64 = jnp.uint64
-_NUC_CODE = jnp.asarray(NUC_CODE)
-_COMP_CODE = jnp.asarray(COMP_CODE)
-_CODON2AA = jnp.asarray(CODON2AA)
-_CODON2NUM = jnp.asarray(CODON2NUM)
+# Tables stay as NUMPY arrays at module level: converting them inside the
+# traced functions embeds them as HLO literal constants.  Module-level
+# jax.Arrays would instead be captured as *implicit executable arguments*,
+# which corrupts the jit dispatch cache across differently-shaped
+# compilations (observed on jax 0.9: "Execution supplied N buffers but
+# compiled program expected M").
 
 
 def max_windows(l_max: int, k: int = KMER_LEN) -> int:
@@ -69,8 +71,12 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
     W = max_windows(Lmax, k)
     aa_max = W + k - 1  # codons needed per frame
 
-    codes = _NUC_CODE[reads]                      # [B, Lmax] 3-bit codes
-    rc = _COMP_CODE[codes[:, ::-1]]               # [B, Lmax] reverse-complement
+    nuc_code = jnp.asarray(NUC_CODE)
+    comp_code = jnp.asarray(COMP_CODE)
+    codon2aa = jnp.asarray(CODON2AA)
+    codon2num = jnp.asarray(CODON2NUM)
+    codes = nuc_code[reads]                       # [B, Lmax] 3-bit codes
+    rc = comp_code[codes[:, ::-1]]                # [B, Lmax] reverse-complement
 
     used = _used_len(lengths)                     # [B]
     aa_len = used // 3                            # [B]
@@ -96,8 +102,8 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
         c1 = jnp.take_along_axis(base, p + 1, axis=1)
         c2 = jnp.take_along_axis(base, p + 2, axis=1)
         cidx = (c0.astype(jnp.int32) << 6) | (c1.astype(jnp.int32) << 3) | c2.astype(jnp.int32)
-        aa = _CODON2AA[cidx]                       # [B, aa_max] uint8
-        num = _CODON2NUM[cidx]
+        aa = codon2aa[cidx]                        # [B, aa_max] uint8
+        num = codon2num[cidx]
         cvalid = (aa <= 20) & (j[None, :] < aa_len[:, None])
         return aa, num, cvalid, begin
 

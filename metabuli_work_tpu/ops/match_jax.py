@@ -28,7 +28,7 @@ import numpy as np
 
 from .genetic_code import HAMMING_TABLE, KMER_LEN
 
-_HAMMING = jnp.asarray(HAMMING_TABLE.astype(np.int32))
+_HAMMING_NP = HAMMING_TABLE.astype(np.int32)  # np: becomes an HLO literal inside traces
 _U64 = jnp.uint64
 DNA_BITS = 24
 
@@ -62,6 +62,7 @@ def match_kmers(
     target 24-bit DNA part), plus overflow (int32 scalar, dropped
     candidates due to cap).
     """
+    hamming_tbl = jnp.asarray(_HAMMING_NP)
     dna_mask = _U64((1 << DNA_BITS) - 1)
     db_aa = db_values >> _U64(DNA_BITS)
     q_aa = q_kmers >> _U64(DNA_BITS)
@@ -85,7 +86,7 @@ def match_kmers(
     for i in range(KMER_LEN):
         qi = (q_dna >> (3 * i)) & 7
         ti = (t_dna >> (3 * i)) & 7
-        h = _HAMMING[(qi << 3) | ti]
+        h = hamming_tbl[(qi << 3) | ti]
         hsum = hsum + h
         h2 = h & 3
         rh_fwd = rh_fwd | (h2 << (2 * i))

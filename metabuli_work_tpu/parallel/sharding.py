@@ -32,9 +32,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import encode_jax
 from ..ops.genetic_code import HAMMING_TABLE, KMER_LEN
 
-# module-level constant: must NOT be created lazily inside a traced
-# function (a tracer would leak into later traces)
-_HAMMING = jnp.asarray(HAMMING_TABLE.astype(np.int32))
+# numpy at module level; converted inside traces so it embeds as an HLO
+# literal (module-level jax.Arrays become implicit executable args, which
+# corrupts the jit dispatch cache across shapes)
+_HAMMING_NP = HAMMING_TABLE.astype(np.int32)
 
 
 def make_mesh(n_devices=None, dp=None):
@@ -86,6 +87,7 @@ def _probe_local(q_kmers, q_frames, q_valid, db_values, db_count, db_taxids, db_
 
     Mirrors ops/match_jax.match_kmers but against a padded local shard.
     """
+    hamming_tbl = jnp.asarray(_HAMMING_NP)
     dna_mask = jnp.uint64((1 << 24) - 1)
     S = db_values.shape[0]
     db_aa = db_values >> jnp.uint64(24)
@@ -109,7 +111,7 @@ def _probe_local(q_kmers, q_frames, q_valid, db_values, db_count, db_taxids, db_
     for i in range(KMER_LEN):
         qi = (q_dna >> (3 * i)) & 7
         ti = (t_dna >> (3 * i)) & 7
-        h = _HAMMING[(qi << 3) | ti]
+        h = hamming_tbl[(qi << 3) | ti]
         hsum = hsum + h
         h2 = h & 3
         rh_fwd = rh_fwd | (h2 << (2 * i))
