@@ -85,51 +85,36 @@ def main():
     print(f"# setup: DB {index.size} kmers, {N_READS} reads ({time.time()-t0:.1f}s)",
           file=sys.stderr)
 
-    import jax
-    import jax.numpy as jnp
-
     from metabuli_work_tpu.classify.pipeline import Classifier, ClassifyParams
-    from metabuli_work_tpu.classify.taxonomer import MATCH_DTYPE, ReadResult
-    from metabuli_work_tpu.models.flagship import classify_step
 
-    # wire a Classifier around the in-memory index (no disk round-trip)
     params = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
                             batch_size=BATCH)
-    clf = Classifier.__new__(Classifier)
-    clf.params = params
-    clf.index = index
-    clf.taxonomy = tax
-    clf.kmer_format = 2
-    clf.syncmer = False
-    clf.smer_len = 5
-    clf.db_values = jnp.asarray(index.values)
-    clf.db_taxids = jnp.asarray(index.taxids.astype(np.int32))
-    clf.db_species = jnp.asarray(index.species.astype(np.int32))
-    clf.cap = int(min(max(index.max_aa_run(), 8), params.max_cap))
-    from metabuli_work_tpu.classify.taxonomer_vec import VectorTaxonomer
-    from metabuli_work_tpu.utils.timing import StageTimer
-    clf.taxonomer = VectorTaxonomer(tax, kmer_format=2, seq_mode=1,
-                                    min_score=0.15, min_sp_score=0.5)
-    clf.total_match_cnt = 0
-    clf.timer = StageTimer()
-    clf._fetch_estimate = 1 << 17
+    clf = Classifier.from_memory(index, params)
 
     names = [f"r{i}" for i in range(BATCH)]
-    seqs = ["".join(map(chr, row)) for row in reads[:BATCH]]
 
-    # warmup (compile)
+    # warmup (compile) — same array shapes as the measured loop
     t0 = time.time()
-    res = clf.classify_batch(names, seqs)
+    lens_w = np.full(BATCH, READ_LEN, dtype=np.int32)
+    res = clf.classify_batch_arrays(names, reads[:BATCH], lens_w)
     print(f"# warmup batch: {time.time()-t0:.1f}s", file=sys.stderr)
+    from metabuli_work_tpu.utils.timing import StageTimer
+    clf.timer = StageTimer()  # drop warmup/compile from stage stats
 
-    # steady state
+    # steady state: pipelined dispatch/finish halves (as classify_file does)
     n_batches = N_READS // BATCH
+    lens = np.full(BATCH, READ_LEN, dtype=np.int32)
     t0 = time.time()
     classified = 0
+    pending = None
     for b in range(n_batches):
-        seqs_b = ["".join(map(chr, row)) for row in reads[b * BATCH:(b + 1) * BATCH]]
-        res = clf.classify_batch(names, seqs_b)
-        classified += sum(1 for q in res if q.result.is_classified)
+        ctx = clf._dispatch_batch(names, reads[b * BATCH:(b + 1) * BATCH], lens)
+        if pending is not None:
+            res = clf._finish_batch(pending)
+            classified += sum(1 for q in res if q.result.is_classified)
+        pending = ctx
+    res = clf._finish_batch(pending)
+    classified += sum(1 for q in res if q.result.is_classified)
     dt = time.time() - t0
     rate = N_READS / dt
     print(f"# measured: {N_READS} reads in {dt:.2f}s, {classified} classified",

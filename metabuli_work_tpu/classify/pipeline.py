@@ -65,10 +65,20 @@ def _bucket_len(n: int, quantum: int = 96) -> int:
 
 class Classifier:
     def __init__(self, db_dir, params: ClassifyParams):
+        self._init_from_index(load_index(db_dir), params)
+
+    @classmethod
+    def from_memory(cls, index: KmerIndex, params: ClassifyParams):
+        """Wire a Classifier around an in-memory index (no disk round-trip)."""
+        self = cls.__new__(cls)
+        self._init_from_index(index, params)
+        return self
+
+    def _init_from_index(self, index: KmerIndex, params: ClassifyParams):
         import jax.numpy as jnp
 
         self.params = params
-        self.index: KmerIndex = load_index(db_dir)
+        self.index = index
         self.taxonomy = self.index.taxonomy
         meta = self.index.meta
         self.kmer_format = int(meta.get("kmer_format", 2))

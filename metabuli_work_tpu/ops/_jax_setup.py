@@ -9,3 +9,13 @@ planned Pallas kernels use a decomposed 2x u32 representation instead.
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: first compile per shape through the axon
+# tunnel costs 90-400s; cached reloads make repeated runs (tests, bench,
+# CLI invocations) start in seconds.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without these knobs
+    pass

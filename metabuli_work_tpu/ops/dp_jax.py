@@ -87,6 +87,13 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
     min_depth: [G] int32 (species-independent per group is NOT enough —
     the euk rule is per species — so this is per-candidate [G, W, cap]).
 
+    The lookback over the last max_shift windows is UNROLLED (S is a small
+    static constant, 1 by default, 8-smer_len for syncmer): each shift s
+    does one [G, cap, cap] broadcast compare + masked one-hot reduction.
+    Gather-free on purpose — an earlier ring-buffer formulation using
+    take_along_axis over a [G, S, cap, cap] tensor plus scatter-updates
+    lowered to pathological (and on TPU incorrect) code.
+
     Returns dict of [G, W+max_shift, cap] arrays: emit flag + path fields
     (start/end query coords, score, hamming, depth, start-match rh;
     the end match's rh/taxid are the candidate's own).  Row t >= max_shift
@@ -115,114 +122,107 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
     sp_m = jnp.where(sel, species, _NO_SPECIES)
     fwd_g = (jnp.arange(G, dtype=I32) % 6 < 3)[:, None, None]
 
-    def step(ring, xs):
-        (sel_w, sp_w, dna_w, rh_w, ham_w, pos_w, score_w, md_w) = xs
-        (r_sp, r_dna, r_score, r_depth, r_ham, r_start, r_rhs, r_rhe, r_conn,
-         r_pos, r_md) = ring
-
-        # nearest previous window (ring slot) containing each candidate's
-        # species
-        cur_sp = sp_w[:, None, :, None]                     # [G,1,cap,1]
-        ring_sp = r_sp[:, :, None, :]                       # [G,S,1,capS]
-        same_sp = (ring_sp == cur_sp) & (ring_sp >= 0)      # [G,S,cap,capS]
-        has_sp = same_sp.any(axis=3)                        # [G,S,cap]
-        slot_idx = jnp.argmax(has_sp, axis=1)               # [G,cap] first hit
-        shift = (slot_idx + 1).astype(I32)
-
-        def pick(a):  # ring field at each candidate's slot -> [G,cap,capS]
-            src = jnp.broadcast_to(a[:, :, None, :], (G, S, cap, cap))
-            idx = jnp.broadcast_to(slot_idx[:, None, :, None], (G, 1, cap, cap))
-            return jnp.take_along_axis(src, idx, axis=1)[:, 0]
-
-        pred_sp = pick(r_sp)
-        pred_dna = pick(r_dna)
-        pred_score = pick(r_score)
-        pred_depth = pick(r_depth)
-        pred_ham = pick(r_ham)
-        pred_start = pick(r_start)
-        pred_rhs = pick(r_rhs)
-
-        sh = shift[:, :, None]
+    # carry: S per-window states, newest first; each state is a tuple of
+    # [G, cap] arrays (sp, dna, score, depth, ham, start, rh_start, rh_end,
+    # connected, pos, min_depth)
+    def step(states, xs):
+        sel_w, sp_w, dna_w, rh_w, ham_w, pos_w, score_w, md_w = xs
+        cur_sp = sp_w[:, :, None]                           # [G,cap,1]
         nd = dna_w[:, :, None]
-        cd = pred_dna
-        mask24 = (jnp.int32(1) << (24 - 3 * sh)) - 1
-        if kmer_format == 2:
-            # isConsecutive2(cur=pred, next=current) fwd / swapped rev
-            ok_fwd = (cd & mask24) == (nd >> (3 * sh))
-            ok_rev = (nd & mask24) == (cd >> (3 * sh))
-        else:
-            ok_fwd = (cd >> (3 * sh)) == (nd & mask24)
-            ok_rev = (nd >> (3 * sh)) == (cd & mask24)
-        ok = jnp.where(fwd_g, ok_fwd, ok_rev)
-        ok &= (pred_sp == sp_w[:, :, None]) & (pred_sp >= 0) & sel_w[:, :, None]
 
-        any_ok = ok.any(axis=2)
-        cand_score = jnp.where(ok, pred_score, F32(-1.0))
-        best_j = jnp.argmax(cand_score, axis=2)             # first strict max
-        take = lambda a: jnp.take_along_axis(a, best_j[:, :, None], axis=2)[:, :, 0]
+        found = jnp.zeros(sel_w.shape, dtype=bool)          # species seen closer
+        any_ok = jnp.zeros(sel_w.shape, dtype=bool)
+        shift_sel = jnp.zeros(sel_w.shape, I32)
+        b_score = jnp.zeros(sel_w.shape, F32)
+        b_depth = jnp.zeros(sel_w.shape, I32)
+        b_ham = jnp.zeros(sel_w.shape, I32)
+        b_start = jnp.zeros(sel_w.shape, I32)
+        b_rhs = jnp.zeros(sel_w.shape, I32)
+        hits = []                                           # per-state conn marks
 
-        inc = _score_increment(rh_w, shift, S)
-        hinc = _ham_increment(rh_w, shift, S)
-        n_score = jnp.where(any_ok, take(pred_score) + inc, score_w)
-        n_depth = jnp.where(any_ok, take(pred_depth) + shift, 1)
-        n_ham = jnp.where(any_ok, take(pred_ham) + hinc, ham_w)
-        n_start = jnp.where(any_ok, take(pred_start), pos_w)
-        n_rhs = jnp.where(any_ok, take(pred_rhs), rh_w)
+        for s, st in enumerate(states):
+            p_sp, p_dna, p_score, p_depth, p_ham, p_start, p_rhs = st[:7]
+            # the predecessor window is the NEAREST one containing the
+            # candidate's species; consecutiveness is checked there only
+            same_sp = (p_sp[:, None, :] == cur_sp) & (p_sp[:, None, :] >= 0)
+            has_sp = same_sp.any(axis=2)                    # [G,cap]
+            use_s = has_sp & ~found & sel_w
+            found = found | has_sp
 
-        # mark connected predecessors in each candidate's slot
-        conn_upd = r_conn
-        for s in range(S):
-            in_slot = (slot_idx == s) & sel_w               # [G,cap]
-            hit = (ok & in_slot[:, :, None]).any(axis=1)    # [G,capS]
-            conn_upd = conn_upd.at[:, s].set(conn_upd[:, s] | hit)
+            sh = s + 1                                      # static codon shift
+            mask24 = (1 << (24 - 3 * sh)) - 1
+            cd = p_dna[:, None, :]
+            if kmer_format == 2:
+                # isConsecutive2(cur=pred, next=current) fwd / swapped rev
+                ok_f = (cd & mask24) == (nd >> (3 * sh))
+                ok_r = (nd & mask24) == (cd >> (3 * sh))
+            else:
+                ok_f = (cd >> (3 * sh)) == (nd & mask24)
+                ok_r = (nd >> (3 * sh)) == (cd & mask24)
+            ok = jnp.where(fwd_g, ok_f, ok_r) & same_sp & use_s[:, :, None]
 
-        # retire oldest slot -> emission
+            aok = ok.any(axis=2)
+            cand = jnp.where(ok, p_score[:, None, :], F32(-1.0))
+            best = cand.max(axis=2)
+            # first strict max in the pre-sorted (hamming, dna) cap order
+            oh = ok & (cand >= best[:, :, None])
+            oh &= jnp.cumsum(oh.astype(I32), axis=2) == 1
+            pick = lambda a: jnp.sum(jnp.where(oh, a[:, None, :], I32(0)),
+                                     axis=2, dtype=I32)
+            any_ok = any_ok | aok
+            shift_sel = jnp.where(aok, I32(sh), shift_sel)
+            b_score = jnp.where(aok, best, b_score)
+            b_depth = jnp.where(aok, pick(p_depth), b_depth)
+            b_ham = jnp.where(aok, pick(p_ham), b_ham)
+            b_start = jnp.where(aok, pick(p_start), b_start)
+            b_rhs = jnp.where(aok, pick(p_rhs), b_rhs)
+            hits.append(ok.any(axis=1))                     # [G,capS]
+
+        inc = _score_increment(rh_w, shift_sel, S)
+        hinc = _ham_increment(rh_w, shift_sel, S)
+        n_score = jnp.where(any_ok, b_score + inc, score_w)
+        n_depth = jnp.where(any_ok, b_depth + shift_sel, I32(1))
+        n_ham = jnp.where(any_ok, b_ham + hinc, ham_w)
+        n_start = jnp.where(any_ok, b_start, pos_w)
+        n_rhs = jnp.where(any_ok, b_rhs, rh_w)
+
+        # mark connected predecessors, then retire the oldest window
+        upd = [st[:8] + (st[8] | hits[s],) + st[9:]
+               for s, st in enumerate(states)]
+        r_sp, _, r_score, r_depth, r_ham, r_start, r_rhs, r_rhe, r_conn, \
+            r_pos, r_md = upd[S - 1]
         emitted = {
-            "emit": (r_sp[:, S - 1] >= 0) & (~conn_upd[:, S - 1])
-                    & (r_depth[:, S - 1] >= r_md[:, S - 1]),
-            "species": r_sp[:, S - 1],
-            "start": r_start[:, S - 1],
-            "end": r_pos[:, S - 1] + 23,
-            "score": r_score[:, S - 1],
-            "hamming": r_ham[:, S - 1],
-            "depth": r_depth[:, S - 1],
-            "rh_start": r_rhs[:, S - 1],
-            "rh_end": r_rhe[:, S - 1],
+            "emit": (r_sp >= 0) & (~r_conn) & (r_depth >= r_md),
+            "species": r_sp,
+            "start": r_start,
+            "end": r_pos + 23,
+            "score": r_score,
+            "hamming": r_ham,
+            "depth": r_depth,
+            "rh_start": r_rhs,
+            "rh_end": r_rhe,
         }
 
-        def push(arr, new):
-            return jnp.concatenate([new[:, None], arr[:, : S - 1]], axis=1)
+        new_state = (jnp.where(sel_w, sp_w, I32(_NO_SPECIES)), dna_w, n_score,
+                     n_depth, n_ham, n_start, n_rhs, rh_w,
+                     jnp.zeros(sel_w.shape, dtype=bool), pos_w, md_w)
+        return tuple([new_state] + upd[: S - 1]), emitted
 
-        ring = (
-            push(r_sp, jnp.where(sel_w, sp_w, I32(_NO_SPECIES))),
-            push(r_dna, dna_w),
-            push(r_score, n_score),
-            push(r_depth, n_depth),
-            push(r_ham, n_ham),
-            push(r_start, n_start),
-            push(r_rhs, n_rhs),
-            push(r_rhe, rh_w),
-            push(conn_upd, jnp.zeros((G, cap), dtype=bool)),
-            push(r_pos, pos_w),
-            push(r_md, md_w),
-        )
-        return ring, emitted
-
-    zi = jnp.zeros((G, S, cap), I32)
-    ring0 = (zi - 1, zi,
-             jnp.zeros((G, S, cap), F32), zi, zi, zi, zi, zi,
-             jnp.zeros((G, S, cap), dtype=bool), zi, zi)
+    zg = jnp.zeros((G, cap), I32)
+    state0 = (zg - 1, zg, jnp.zeros((G, cap), F32), zg, zg, zg, zg, zg,
+              jnp.zeros((G, cap), dtype=bool), zg, zg)
+    states0 = tuple(state0 for _ in range(S))
 
     mv = lambda a: jnp.moveaxis(a, 1, 0)
     xs = (mv(sel), mv(sp_m), mv(dna), mv(rh), mv(ham), mv(pos), mv(score0),
           mv(min_depth))
-    ring, emitted = jax.lax.scan(step, ring0, xs)
+    states, emitted = jax.lax.scan(step, states0, xs)
 
     # flush S empty windows to retire the rest
     ze = lambda dt: jnp.zeros((S, G, cap), dt)
     empty = (ze(bool), ze(I32) - 1, ze(I32), ze(I32),
              ze(I32), ze(I32), ze(F32), ze(I32))
-    _, tail = jax.lax.scan(step, ring, empty)
+    _, tail = jax.lax.scan(step, states, empty)
 
     out = {}
     for key in emitted:
