@@ -101,20 +101,14 @@ def main():
     from metabuli_work_tpu.utils.timing import StageTimer
     clf.timer = StageTimer()  # drop warmup/compile from stage stats
 
-    # steady state: pipelined dispatch/finish halves (as classify_file does)
+    # steady state: the production 2-deep pipeline (same as classify_file)
     n_batches = N_READS // BATCH
     lens = np.full(BATCH, READ_LEN, dtype=np.int32)
     t0 = time.time()
-    classified = 0
-    pending = None
-    for b in range(n_batches):
-        ctx = clf._dispatch_batch(names, reads[b * BATCH:(b + 1) * BATCH], lens)
-        if pending is not None:
-            res = clf._finish_batch(pending)
-            classified += sum(1 for q in res if q.result.is_classified)
-        pending = ctx
-    res = clf._finish_batch(pending)
-    classified += sum(1 for q in res if q.result.is_classified)
+    batches = ((names, reads[b * BATCH:(b + 1) * BATCH], lens, None, None)
+               for b in range(n_batches))
+    res = clf.drive_batches(batches)
+    classified = sum(1 for q in res if q.result.is_classified)
     dt = time.time() - t0
     rate = N_READS / dt
     print(f"# measured: {N_READS} reads in {dt:.2f}s, {classified} classified",

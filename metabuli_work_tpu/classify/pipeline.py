@@ -106,6 +106,7 @@ class Classifier:
         self.timer = StageTimer()
         self._fetch_estimate = 1 << 17  # rows; adapts to observed match counts
         self._path_estimate = 1 << 14   # emitted-path rows
+        self._pairs_estimate = 1 << 12  # redundancy (rid, taxid) pair rows
         self._init_device_dp()
 
     def _init_device_dp(self):
@@ -124,6 +125,12 @@ class Classifier:
         else:
             mask = np.zeros(n, dtype=bool)
         self.euk_species = jnp.asarray(mask)
+        # device LCA tables for the on-device redundancy filter
+        depth, lift = self.taxonomy.lca_lift_tables()
+        self.lca_depth = jnp.asarray(depth)
+        self.lca_lift = jnp.asarray(lift)
+        self.euler_first = jnp.asarray(self.taxonomy.euler_first.astype(np.int32))
+        self.euler = jnp.asarray(self.taxonomy.euler.astype(np.int32))
 
     # ------------------------------------------------------------------ #
     def _read_batches(self, path1, path2=None) -> Iterator[tuple]:
@@ -256,15 +263,25 @@ class Classifier:
                 prefix.copy_to_host_async()
             except AttributeError:
                 pass
+            lmax = r1.shape[1] + (r2.shape[1] + 3 if paired else 0)
+            n_quot = lmax // int(self.taxonomer.dna_shift) + 2
         return {
             "dp": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
             "a1": a1, "a2": a2, "overflow": overflow,
             "paths": (paths_packed, paths_count), "prefix": prefix, "est": est,
-            "resident": resident,
+            "resident": resident, "n_quot": n_quot,
         }
 
     def _finish_batch_dp(self, ctx):
-        from ..models.flagship import fetch_best_species_matches
+        return self._finish_dp_phase2(self._finish_dp_phase1(ctx))
+
+    def _finish_dp_phase1(self, ctx):
+        """Fetch emitted paths, score species, enqueue the redundancy
+        kernel — but do NOT wait for it (phase 2 does).  Splitting here
+        lets the caller run a 2-deep pipeline: the redundancy kernel for
+        batch b sits behind batch b+1's fused step in the in-order device
+        queue, so its sync must happen one iteration later to avoid
+        blocking on a whole device step."""
         from ..ops import dp_jax
         from .taxonomer import ReadResult as RR
 
@@ -305,6 +322,8 @@ class Classifier:
             qlens[1:] = lens1 + lens2
             deferred = self.taxonomer.score_paths(pa, qlens, results)
 
+        out_ctx = {"names": names, "lens1": lens1, "lens2": lens2,
+                   "results": results, "deferred": deferred, "qlens": qlens}
         with self.timer.stage("redundancy"):
             if deferred:
                 best_sp = np.zeros(B + 1, dtype=np.int32)
@@ -312,24 +331,67 @@ class Classifier:
                     best_sp[rid] = taxid
                 import jax.numpy as jnp
 
+                from ..models.flagship import redundancy_counts
+
                 sel, species, ham, taxid_t, q_pos, q_sids = ctx["resident"]
-                packed2, count2 = fetch_best_species_matches(
+                packed2, count2, match_cnt = redundancy_counts(
                     sel, species, ham, taxid_t, q_pos, q_sids,
-                    jnp.asarray(best_sp))
-                n2 = int(count2)
-                m2 = np.asarray(packed2[:, :n2])
-                self.total_match_cnt += n2
-                tax_cnts = self.taxonomer.filter_redundant_arrays(
-                    m2[0].astype(np.int64), m2[1].astype(np.int64),
-                    m2[2].astype(np.int64), m2[3].astype(np.int64))
-                self.taxonomer.finish_with_taxcnt(deferred, tax_cnts, qlens, results)
+                    jnp.asarray(best_sp),
+                    self.euler_first, self.euler, self.lca_depth,
+                    self.lca_lift,
+                    dna_shift=int(self.taxonomer.dna_shift),
+                    n_quot=ctx["n_quot"])
+                est2 = min(self._pairs_estimate, packed2.shape[1])
+                prefix2 = packed2[:, :est2]
+                try:
+                    prefix2.copy_to_host_async()
+                except AttributeError:
+                    pass
+                out_ctx.update(pairs=(packed2, count2), match_cnt=match_cnt,
+                               prefix2=prefix2, est2=est2)
+        return out_ctx
+
+    def _finish_dp_phase2(self, ctx):
+        B = len(ctx["names"])
+        results = ctx["results"]
+        if ctx["deferred"]:
+            with self.timer.stage("redundancy_sync"):
+                n2 = int(ctx["pairs"][1])
+                if n2 <= ctx["est2"]:
+                    m2 = np.asarray(ctx["prefix2"])[:, :n2]
+                else:
+                    m2 = np.asarray(ctx["pairs"][0][:, :n2])
+                quantum = 1 << 12
+                self._pairs_estimate = max(quantum,
+                                           -(-int(n2 * 1.5) // quantum) * quantum)
+                self.total_match_cnt += int(ctx["match_cnt"])
+                # per-(read, lca) group counts -> tax_cnt dicts
+                key = (m2[0].astype(np.int64) << 32) | m2[1].astype(np.int64)
+                uniq, cnts = np.unique(key, return_counts=True)
+                tax_cnts: dict = {}
+                for k, c in zip(uniq.tolist(), cnts.tolist()):
+                    tax_cnts.setdefault(k >> 32, {})[k & 0xFFFFFFFF] = int(c)
+                self.taxonomer.finish_with_taxcnt(ctx["deferred"], tax_cnts,
+                                                  ctx["qlens"], results)
 
         out = []
         for i in range(B):
-            qr = QueryRecord(names[i], int(lens1[i]), int(lens2[i]))
+            qr = QueryRecord(ctx["names"][i], int(ctx["lens1"][i]),
+                             int(ctx["lens2"][i]))
             qr.result = results[i]
             out.append(qr)
         return out
+
+    def _finish_partial(self, ctx):
+        """Phase-1 finish for the 2-deep pipeline (host path: full finish)."""
+        if ctx.get("dp"):
+            return {"dp2": True, "ctx": self._finish_dp_phase1(ctx)}
+        return {"dp2": False, "results": self._finish_batch_host(ctx)}
+
+    def _finish_complete(self, part):
+        if part["dp2"]:
+            return self._finish_dp_phase2(part["ctx"])
+        return part["results"]
 
     def _dispatch_batch_host(self, names, a1, l1, a2=None, l2=None, cap=None):
         import jax.numpy as jnp
@@ -418,8 +480,6 @@ class Classifier:
 
     # ------------------------------------------------------------------ #
     def classify_file(self, path1, path2=None, progress=None):
-        all_results = []
-        done = 0
         p2 = path2 if self.params.seq_mode == 2 else None
 
         use_native = not self.params.mask_mode
@@ -431,38 +491,49 @@ class Classifier:
             except Exception:
                 use_native = False
 
-        # software pipelining: batch i executes on device while batch i-1 is
-        # fetched and scored on the host (the reference's master/worker IO
-        # overlap, KmerExtractor.cpp:113-193, recast as async dispatch)
-        pending = None
         if use_native:
-            for names, a1, l1, a2, l2 in self._read_batches_native(path1, p2):
-                ctx = self._dispatch_batch(names, a1, l1, a2, l2)
-                if pending is not None:
-                    res = self._finish_batch(pending)
-                    all_results.extend(res)
-                    done += len(res)
-                    if progress:
-                        progress(done)
-                pending = ctx
+            batches = self._read_batches_native(path1, p2)
         else:
-            for names, s1, s2 in self._read_batches(path1, p2):
-                b1, bl1 = self._pad_batch(s1)
-                b2 = bl2 = None
-                if s2 is not None and any(x is not None for x in s2):
-                    b2, bl2 = self._pad_batch(s2)
-                ctx = self._dispatch_batch(names, b1, bl1, b2, bl2)
-                if pending is not None:
-                    res = self._finish_batch(pending)
-                    all_results.extend(res)
-                    done += len(res)
-                    if progress:
-                        progress(done)
-                pending = ctx
-        if pending is not None:
-            res = self._finish_batch(pending)
-            all_results.extend(res)
-            done += len(res)
-            if progress:
-                progress(done)
+            def _pad_iter():
+                for names, s1, s2 in self._read_batches(path1, p2):
+                    b1, bl1 = self._pad_batch(s1)
+                    b2 = bl2 = None
+                    if s2 is not None and any(x is not None for x in s2):
+                        b2, bl2 = self._pad_batch(s2)
+                    yield names, b1, bl1, b2, bl2
+
+            batches = _pad_iter()
+        return self.drive_batches(batches, progress)
+
+    def drive_batches(self, batches, progress=None):
+        """2-deep software pipeline over (names, a1, l1, a2, l2) batches.
+
+        Depth 1 (the reference's master/worker IO overlap,
+        KmerExtractor.cpp:113-193, recast as async dispatch) hides host
+        scoring of batch b-1 behind the device step of batch b.  The
+        second level exists because the redundancy kernel for b-1 is
+        enqueued BEHIND b's fused step in the in-order device queue —
+        waiting on it inside b-1's finish would block a full device step,
+        so its (tiny) result is collected one iteration later still.
+        """
+        all_results = []
+        done = 0
+        pend1 = pend2 = None
+        for names, a1, l1, a2, l2 in batches:
+            ctx = self._dispatch_batch(names, a1, l1, a2, l2)
+            if pend2 is not None:
+                res = self._finish_complete(pend2)
+                all_results.extend(res)
+                done += len(res)
+                if progress:
+                    progress(done)
+            pend2 = self._finish_partial(pend1) if pend1 is not None else None
+            pend1 = ctx
+        for part in (pend2, self._finish_partial(pend1) if pend1 else None):
+            if part is not None:
+                res = self._finish_complete(part)
+                all_results.extend(res)
+                done += len(res)
+                if progress:
+                    progress(done)
         return all_results

@@ -336,19 +336,23 @@ class VectorTaxonomer(Taxonomer):
             for run in range(run0, run1):
                 a, b = int(sp_run_start[run]), int(sp_run_end[run])
                 sp = ps[a]
-                plist = [
-                    MatchPath(
-                        start=int(p_start[j]),
-                        end=int(p_end[j]),
-                        score=p_score[j],
-                        hamming=int(p_ham[j]),
-                        depth=int(p_depth[j]),
-                        rh_start=int(p_rhs[j]),
-                        rh_end=int(p_rhe[j]),
-                    )
-                    for j in range(a, b)
-                ]
-                sc = self._combine_paths(plist, qlen)
+                if b - a == 1:
+                    # single-path run (the common case): combine == score/len
+                    sc = _f32(p_score[a]) / _f32(qlen)
+                else:
+                    plist = [
+                        MatchPath(
+                            start=int(p_start[j]),
+                            end=int(p_end[j]),
+                            score=p_score[j],
+                            hamming=int(p_ham[j]),
+                            depth=int(p_depth[j]),
+                            rh_start=int(p_rhs[j]),
+                            rh_end=int(p_rhe[j]),
+                        )
+                        for j in range(a, b)
+                    ]
+                    sc = self._combine_paths(plist, qlen)
                 sc = min(sc, _f32(1.0))
                 if sc < self.min_score:
                     continue

@@ -162,28 +162,78 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
     return paths_packed, paths_count, out["overflow"], resident
 
 
-@jax.jit
-def fetch_best_species_matches(sel, species, ham, taxid, q_pos, q_sids,
-                               best_sp_per_read):
-    """Phase 2: compact matches of each read's best species.
+def _lca_pair_lift(a, b, depth, lift):
+    """Vectorized pairwise LCA via binary lifting (~2*levels gathers)."""
+    levels = lift.shape[0]
+    da, db = depth[a], depth[b]
+    swap = db > da
+    x = jnp.where(swap, b, a)            # deeper node
+    y = jnp.where(swap, a, b)
+    diff = jnp.abs(da - db)
+    for k in range(levels):
+        x = jnp.where((diff >> k) & 1 == 1, lift[k][x], x)
+    eq = x == y
+    for k in range(levels - 1, -1, -1):
+        lx, ly = lift[k][x], lift[k][y]
+        go = lx != ly
+        x = jnp.where(go, lx, x)
+        y = jnp.where(go, ly, y)
+    return jnp.where(eq, x, lift[0][x])
 
-    best_sp_per_read: int32 [B+1] (index by 1-based read id; 0 = none).
-    Returns packed int32 [4, N*cap] (qid, pos, ham, taxid) + count.
+
+@functools.partial(jax.jit, static_argnames=("dna_shift", "n_quot"))
+def redundancy_counts(sel, species, ham, taxid, q_pos, q_sids,
+                      best_sp_per_read, euler_first, euler, depth, lift,
+                      dna_shift: int, n_quot: int):
+    """Phase 2 on device: best-species redundancy filter + grouped LCA.
+
+    Groups each read's best-species matches by query pos // dna_shift,
+    keeps the min-hamming rows per group, and reduces each group to one
+    LCA taxid — set-LCA computed as the pairwise LCA of the group's two
+    extremal euler-first members (euler[min f], euler[max f]), pairwise
+    LCA by binary lifting.  Returns compacted (rid, lca_taxid) int32
+    pairs (one per surviving group), their count, and the best-species
+    match count.  Replaces a match-level device->host fetch + host
+    lexsort/LCA-fold (reference Taxonomer::filterRedundantMatches +
+    per-group LCA, src/commons/Taxonomer.cpp:219-243) with two scatter
+    extremes and ~2*log(depth) gathers on device.
     """
     from ..ops import dp_jax
 
+    I32 = jnp.int32
     N, cap = sel.shape
+    B1 = best_sp_per_read.shape[0]       # B + 1
+    n_groups = (B1 - 1) * n_quot
+    BIG = jnp.int32(0x7FFFFFFF)
+
     qid = jnp.broadcast_to(q_sids[:, None], (N, cap))
     want = best_sp_per_read[qid]
     sel2 = sel & (species == want) & (want > 0)
-    flat = lambda a: a.reshape(N * cap)
-    cols = jnp.stack([
-        flat(qid.astype(jnp.int32)),
-        flat(jnp.broadcast_to(q_pos[:, None], (N, cap)).astype(jnp.int32)),
-        flat(ham.astype(jnp.int32)),
-        flat(taxid.astype(jnp.int32)),
-    ])
-    return dp_jax.compact_columns(cols, flat(sel2))
+
+    quot = jnp.clip(q_pos // dna_shift, 0, n_quot - 1)
+    gidx = ((q_sids - 1) * n_quot + quot)
+    gidx = jnp.broadcast_to(gidx[:, None], (N, cap)).reshape(N * cap)
+    sel2f = sel2.reshape(N * cap)
+    hamf = jnp.where(sel2f, ham.reshape(N * cap).astype(I32), BIG)
+
+    minh = jnp.full(n_groups, BIG, I32).at[gidx].min(hamf, mode="drop")
+    ismin = sel2f & (hamf == minh[gidx])
+
+    f = euler_first[jnp.clip(taxid.reshape(N * cap), 0, euler_first.shape[0] - 1)]
+    fmin = jnp.full(n_groups, BIG, I32).at[gidx].min(
+        jnp.where(ismin, f, BIG), mode="drop")
+    fmax = jnp.full(n_groups, I32(-1), I32).at[gidx].max(
+        jnp.where(ismin, f, I32(-1)), mode="drop")
+
+    gvalid = minh < BIG
+    a = euler[jnp.clip(fmin, 0, euler.shape[0] - 1)]
+    b = euler[jnp.clip(fmax, 0, euler.shape[0] - 1)]
+    lca = _lca_pair_lift(a, b, depth, lift)
+
+    rid = jnp.arange(n_groups, dtype=I32) // n_quot + 1
+    cols = jnp.stack([rid, lca.astype(I32)])
+    packed, count = dp_jax.compact_columns(cols, gvalid)
+    return packed, count, jnp.sum(sel2f).astype(I32)
 
 
 def synthetic_db(n_kmers=4096, n_species=8, seed=0):

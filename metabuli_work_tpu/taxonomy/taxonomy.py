@@ -319,3 +319,23 @@ class Taxonomy:
 
     def num_nodes(self):
         return len(self.parent)
+
+    def lca_lift_tables(self):
+        """Binary-lifting ancestor table for device-side pairwise LCA.
+
+        Returns (depth int32 [n], lift int32 [levels, n]) with
+        lift[k][i] = 2^k-th ancestor of i (root lifts to itself).  Unlike
+        the Euler sparse table (O(n log n) in euler length, too large to
+        ship to HBM for big taxonomies), this is O(n log maxdepth) and a
+        device LCA is ~2*levels gathers.
+        """
+        n = len(self.parent)
+        maxd = int(self.depth.max()) if n else 0
+        levels = max(int(np.ceil(np.log2(maxd + 1))) + 1, 1)
+        lift = np.zeros((levels, n), dtype=np.int32)
+        lift[0] = self.parent
+        if n:
+            lift[0, self.root] = self.root
+        for k in range(1, levels):
+            lift[k] = lift[k - 1][lift[k - 1]]
+        return self.depth.astype(np.int32), lift
