@@ -123,8 +123,8 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
     qs = jnp.concatenate([p[3] for p in parts])
     qv = jnp.concatenate([p[4] for p in parts])
 
-    out = match_jax.match_kmers(qk, qf, qv, db_values, db_taxids, db_species,
-                                cap=cap, kmer_format=kmer_format)
+    out = match_jax.match_kmers_cm(qk, qf, qv, db_values, db_taxids,
+                                   db_species, cap=cap, kmer_format=kmer_format)
 
     max_shift = (8 - smer_len) if syncmer else 1
     packed_parts = []
@@ -134,14 +134,15 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
         n = B * F * W
         sl = slice(offset, offset + n)
         offset += n
-        resh = lambda a: a[sl].reshape(B * F, W, cap)
+        resh = lambda a: a[:, sl].reshape(cap, B * F, W)
         fields = {
             "sel": resh(out["sel"]),
             "species": resh(out["species"]),
             "dna": resh(out["dna_enc"]),
             "rh": resh(out["rh"]),
             "ham": resh(out["hamming"]),
-            "pos": jnp.broadcast_to(qp[sl].reshape(B * F, W, 1), (B * F, W, cap)),
+            "pos": jnp.broadcast_to(qp[sl].reshape(1, B * F, W),
+                                    (cap, B * F, W)),
         }
         fields = dp_jax.sort_candidates(fields, fields["sel"], fields["ham"],
                                         fields["dna"])
@@ -201,25 +202,25 @@ def redundancy_counts(sel, species, ham, taxid, q_pos, q_sids,
     from ..ops import dp_jax
 
     I32 = jnp.int32
-    N, cap = sel.shape
+    cap, N = sel.shape
     B1 = best_sp_per_read.shape[0]       # B + 1
     n_groups = (B1 - 1) * n_quot
     BIG = jnp.int32(0x7FFFFFFF)
 
-    qid = jnp.broadcast_to(q_sids[:, None], (N, cap))
+    qid = jnp.broadcast_to(q_sids[None, :], (cap, N))
     want = best_sp_per_read[qid]
     sel2 = sel & (species == want) & (want > 0)
 
     quot = jnp.clip(q_pos // dna_shift, 0, n_quot - 1)
     gidx = ((q_sids - 1) * n_quot + quot)
-    gidx = jnp.broadcast_to(gidx[:, None], (N, cap)).reshape(N * cap)
-    sel2f = sel2.reshape(N * cap)
-    hamf = jnp.where(sel2f, ham.reshape(N * cap).astype(I32), BIG)
+    gidx = jnp.broadcast_to(gidx[None, :], (cap, N)).reshape(cap * N)
+    sel2f = sel2.reshape(cap * N)
+    hamf = jnp.where(sel2f, ham.reshape(cap * N).astype(I32), BIG)
 
     minh = jnp.full(n_groups, BIG, I32).at[gidx].min(hamf, mode="drop")
     ismin = sel2f & (hamf == minh[gidx])
 
-    f = euler_first[jnp.clip(taxid.reshape(N * cap), 0, euler_first.shape[0] - 1)]
+    f = euler_first[jnp.clip(taxid.reshape(cap * N), 0, euler_first.shape[0] - 1)]
     fmin = jnp.full(n_groups, BIG, I32).at[gidx].min(
         jnp.where(ismin, f, BIG), mode="drop")
     fmax = jnp.full(n_groups, I32(-1), I32).at[gidx].max(

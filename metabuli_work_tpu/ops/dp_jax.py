@@ -61,16 +61,35 @@ def _ham_increment(rh, shift, max_shift):
 
 
 def sort_candidates(fields, sel, ham, dna):
-    """Sort the cap axis by (hamming, dnaEncoding), invalid last.
+    """Sort the leading cap axis by (hamming, dnaEncoding), invalid last.
 
     The reference iterates a pos group's matches in compareMatches order;
     within one (species, frame, pos) that is (hamming, dna) — the
     best-predecessor tie-break depends on it.
+
+    Implemented as a stable rank computation + one-hot permutation over
+    the (small, static) cap axis: cap^2 broadcast compares and masked
+    sums, no lax.sort / take_along_axis (XLA sorts along a minor axis of
+    ~10 lower terribly on TPU, and the candidate tensors keep their large
+    minor axis this way).
     """
     key = jnp.where(sel, (ham << 24) | dna, jnp.int32(0x7FFFFFFF))
-    order = jnp.argsort(key, axis=-1, stable=True)
-    out = {k: jnp.take_along_axis(v, order, axis=-1) for k, v in fields.items()}
-    return out
+    cap = key.shape[0]
+    ki = key[:, None]                     # [cap(src i), 1, ...]
+    kj = key[None, :]                     # [1, cap(src j), ...]
+    tri = jnp.arange(cap)[None, :] < jnp.arange(cap)[:, None]   # j < i
+    tri = tri.reshape((cap, cap) + (1,) * (key.ndim - 1))
+    rank = jnp.sum((kj < ki) | ((kj == ki) & tri), axis=1).astype(I32)
+    dest = jnp.arange(cap, dtype=I32).reshape((cap,) + (1,) * key.ndim)
+    oh = rank[None, :] == dest            # [cap(dest), cap(src), ...]
+
+    def permute(v):
+        if v.dtype == jnp.bool_:
+            return jnp.any(oh & v[None], axis=1)
+        return jnp.sum(jnp.where(oh, v[None], jnp.zeros((), v.dtype)), axis=1,
+                       dtype=v.dtype)
+
+    return {k: permute(v) for k, v in fields.items()}
 
 
 def path_dp(sel, species, dna, rh, ham, pos, min_depth,
@@ -80,26 +99,28 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
     # jitted-inside-jit + standalone usage corrupts the executable cache
     # (closure constants get lifted to parameters inconsistently).
     # Standalone callers (tests) wrap it in jax.jit themselves.
-    """Path DP over candidate tensors of shape [G, W, cap].
+    """Path DP over candidate tensors of shape [cap, G, W] (cap-major:
+    the large G/W axes stay minor so TPU (8, 128) tiling doesn't pad the
+    ~10-wide cap axis 12.8x).
 
     G = read*frame groups (g % 6 = frame; chains never cross groups),
     W = windows, cap = candidates per window pre-sorted by (ham, dna).
-    min_depth: [G] int32 (species-independent per group is NOT enough —
-    the euk rule is per species — so this is per-candidate [G, W, cap]).
+    min_depth: per-candidate [cap, G, W] (species-independent per group
+    is NOT enough — the euk rule is per species).
 
     The lookback over the last max_shift windows is UNROLLED (S is a small
     static constant, 1 by default, 8-smer_len for syncmer): each shift s
-    does one [G, cap, cap] broadcast compare + masked one-hot reduction.
+    does one [capS, cap, G] broadcast compare + masked one-hot reduction.
     Gather-free on purpose — an earlier ring-buffer formulation using
     take_along_axis over a [G, S, cap, cap] tensor plus scatter-updates
     lowered to pathological (and on TPU incorrect) code.
 
-    Returns dict of [G, W+max_shift, cap] arrays: emit flag + path fields
+    Returns dict of [W+max_shift, cap, G] arrays: emit flag + path fields
     (start/end query coords, score, hamming, depth, start-match rh;
     the end match's rh/taxid are the candidate's own).  Row t >= max_shift
     corresponds to scan window t - max_shift; earlier rows never emit.
     """
-    G, W, cap = sel.shape
+    cap, G, W = sel.shape
     S = max_shift
 
     # groups whose positions descend with window index get their window
@@ -108,10 +129,10 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
     # (OldMetamerScanner), so forward frames descend instead.
     frame_ids = jnp.arange(G, dtype=I32) % 6   # lazy iota: no literal
     rev_g = (frame_ids >= 3) if kmer_format != 1 else (frame_ids < 3)
-    rev_g = rev_g[:, None, None]
+    rev_g = rev_g[None, :, None]
 
     def flip(a):
-        return jnp.where(rev_g, a[:, ::-1], a)
+        return jnp.where(rev_g, a[:, :, ::-1], a)
 
     sel, species, dna, rh, ham, pos, min_depth = (
         flip(sel), flip(species), flip(dna), flip(rh), flip(ham), flip(pos),
@@ -120,15 +141,15 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
 
     score0 = _match_scores(rh)
     sp_m = jnp.where(sel, species, _NO_SPECIES)
-    fwd_g = (jnp.arange(G, dtype=I32) % 6 < 3)[:, None, None]
+    fwd_g = (jnp.arange(G, dtype=I32) % 6 < 3)[None, None, :]  # [1,1,G]
 
     # carry: S per-window states, newest first; each state is a tuple of
-    # [G, cap] arrays (sp, dna, score, depth, ham, start, rh_start, rh_end,
+    # [cap, G] arrays (sp, dna, score, depth, ham, start, rh_start, rh_end,
     # connected, pos, min_depth)
     def step(states, xs):
         sel_w, sp_w, dna_w, rh_w, ham_w, pos_w, score_w, md_w = xs
-        cur_sp = sp_w[:, :, None]                           # [G,cap,1]
-        nd = dna_w[:, :, None]
+        cur_sp = sp_w[None]                                 # [1,cap,G]
+        nd = dna_w[None]
 
         found = jnp.zeros(sel_w.shape, dtype=bool)          # species seen closer
         any_ok = jnp.zeros(sel_w.shape, dtype=bool)
@@ -144,14 +165,14 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
             p_sp, p_dna, p_score, p_depth, p_ham, p_start, p_rhs = st[:7]
             # the predecessor window is the NEAREST one containing the
             # candidate's species; consecutiveness is checked there only
-            same_sp = (p_sp[:, None, :] == cur_sp) & (p_sp[:, None, :] >= 0)
-            has_sp = same_sp.any(axis=2)                    # [G,cap]
+            same_sp = (p_sp[:, None] == cur_sp) & (p_sp[:, None] >= 0)
+            has_sp = same_sp.any(axis=0)                    # [cap,G]
             use_s = has_sp & ~found & sel_w
             found = found | has_sp
 
             sh = s + 1                                      # static codon shift
             mask24 = (1 << (24 - 3 * sh)) - 1
-            cd = p_dna[:, None, :]
+            cd = p_dna[:, None]                             # [capS,1,G]
             if kmer_format == 2:
                 # isConsecutive2(cur=pred, next=current) fwd / swapped rev
                 ok_f = (cd & mask24) == (nd >> (3 * sh))
@@ -159,16 +180,16 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
             else:
                 ok_f = (cd >> (3 * sh)) == (nd & mask24)
                 ok_r = (nd >> (3 * sh)) == (cd & mask24)
-            ok = jnp.where(fwd_g, ok_f, ok_r) & same_sp & use_s[:, :, None]
+            ok = jnp.where(fwd_g, ok_f, ok_r) & same_sp & use_s[None]
 
-            aok = ok.any(axis=2)
-            cand = jnp.where(ok, p_score[:, None, :], F32(-1.0))
-            best = cand.max(axis=2)
+            aok = ok.any(axis=0)                            # [cap,G]
+            cand = jnp.where(ok, p_score[:, None], F32(-1.0))
+            best = cand.max(axis=0)
             # first strict max in the pre-sorted (hamming, dna) cap order
-            oh = ok & (cand >= best[:, :, None])
-            oh &= jnp.cumsum(oh.astype(I32), axis=2) == 1
-            pick = lambda a: jnp.sum(jnp.where(oh, a[:, None, :], I32(0)),
-                                     axis=2, dtype=I32)
+            oh = ok & (cand >= best[None])
+            oh &= jnp.cumsum(oh.astype(I32), axis=0) == 1
+            pick = lambda a: jnp.sum(jnp.where(oh, a[:, None], I32(0)),
+                                     axis=0, dtype=I32)
             any_ok = any_ok | aok
             shift_sel = jnp.where(aok, I32(sh), shift_sel)
             b_score = jnp.where(aok, best, b_score)
@@ -176,7 +197,7 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
             b_ham = jnp.where(aok, pick(p_ham), b_ham)
             b_start = jnp.where(aok, pick(p_start), b_start)
             b_rhs = jnp.where(aok, pick(p_rhs), b_rhs)
-            hits.append(ok.any(axis=1))                     # [G,capS]
+            hits.append(ok.any(axis=1))                     # [capS,G]
 
         inc = _score_increment(rh_w, shift_sel, S)
         hinc = _ham_increment(rh_w, shift_sel, S)
@@ -208,41 +229,42 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
                      jnp.zeros(sel_w.shape, dtype=bool), pos_w, md_w)
         return tuple([new_state] + upd[: S - 1]), emitted
 
-    zg = jnp.zeros((G, cap), I32)
-    state0 = (zg - 1, zg, jnp.zeros((G, cap), F32), zg, zg, zg, zg, zg,
-              jnp.zeros((G, cap), dtype=bool), zg, zg)
+    zg = jnp.zeros((cap, G), I32)
+    state0 = (zg - 1, zg, jnp.zeros((cap, G), F32), zg, zg, zg, zg, zg,
+              jnp.zeros((cap, G), dtype=bool), zg, zg)
     states0 = tuple(state0 for _ in range(S))
 
-    mv = lambda a: jnp.moveaxis(a, 1, 0)
+    mv = lambda a: jnp.moveaxis(a, 2, 0)                    # [W,cap,G]
     xs = (mv(sel), mv(sp_m), mv(dna), mv(rh), mv(ham), mv(pos), mv(score0),
           mv(min_depth))
     states, emitted = jax.lax.scan(step, states0, xs)
 
     # flush S empty windows to retire the rest
-    ze = lambda dt: jnp.zeros((S, G, cap), dt)
+    ze = lambda dt: jnp.zeros((S, cap, G), dt)
     empty = (ze(bool), ze(I32) - 1, ze(I32), ze(I32),
              ze(I32), ze(I32), ze(F32), ze(I32))
     _, tail = jax.lax.scan(step, states, empty)
 
     out = {}
     for key in emitted:
-        main = jnp.moveaxis(emitted[key], 0, 1)
-        extra = jnp.moveaxis(tail[key], 0, 1)
-        out[key] = jnp.concatenate([main, extra], axis=1)   # [G, W+S, cap]
-    return out
+        out[key] = jnp.concatenate([emitted[key], tail[key]], axis=0)
+    return out                                              # [W+S, cap, G]
 
 
 def pack_paths(out):
-    """Flatten a path_dp output dict into 6 int32 columns [6, G*T*cap].
+    """Flatten a path_dp output dict into 7 int32 columns [7, T*cap*G].
 
     Column layout: 0 g (read*6+frame), 1 species, 2 start, 3 end,
-    4 score (f32 bits), 5 hamming<<16 | rh_start.  Flat order (g, t, j)
-    preserves the reference's per-(frame, pos) emission order.
+    4 score (f32 bits), 5 hamming<<16 | rh_start, 6 rh_end.  Flat order
+    (t, j, g) is equivalent to the reference's per-(frame, pos) emission
+    order after the host's (qid, species, frame, end) lexsort: within a
+    tie class, g and t are fixed (end is strictly increasing in t), so
+    only the candidate lane j varies and both flat orders ascend in j.
     """
-    G, T, cap = out["emit"].shape
-    total = G * T * cap
+    T, cap, G = out["emit"].shape
+    total = T * cap * G
     flat = lambda a: a.reshape(total)
-    g_ids = jnp.broadcast_to(jnp.arange(G, dtype=I32)[:, None, None], (G, T, cap))
+    g_ids = jnp.broadcast_to(jnp.arange(G, dtype=I32)[None, None, :], (T, cap, G))
     cols = jnp.stack([
         flat(g_ids),
         flat(out["species"].astype(I32)),

@@ -33,8 +33,7 @@ _U64 = jnp.uint64
 DNA_BITS = 24
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "kmer_format"))
-def match_kmers(
+def match_kmers_cm(
     q_kmers,
     q_frames,
     q_valid,
@@ -44,41 +43,44 @@ def match_kmers(
     cap: int = 64,
     kmer_format: int = 2,
 ):
-    """Probe sorted DB with query metamers.
+    """Probe sorted DB with query metamers — cap-MAJOR layout.
 
-    Args:
-      q_kmers: uint64 [N] query metamers.
-      q_frames: int32 [N] frame (0-5).
-      q_valid: bool [N].
-      db_values: uint64 [M] sorted metamer values.
-      db_taxids: int32 [M] LCA taxid per entry (internal id space).
-      db_species: int32 [M] species ancestor of the taxid.
-      cap: max candidates gathered per query (overflow reported).
-      kmer_format: 1 (old) flips the forward/reverse hamming packing
-        (reference KmerMatcher.cpp:1140-1142).
+    All [cap, N] outputs keep N (large) as the minor axis: TPU tiles the
+    two minor dims to (8, 128), so a minor axis of cap (~10) would pad
+    every candidate tensor ~12.8x.  One searchsorted finds each query's
+    run start; run membership is an equality test on the gathered AA
+    parts (the reference's two-pointer merge makes the same comparison,
+    KmerMatcher.cpp:251-466), and overflow is detected by probing one
+    extra slot past the cap.
 
-    Returns dict of [N, cap] arrays: sel (bool), hamming (int32 sum),
+    Returns dict of [cap, N] arrays: sel (bool), hamming (int32 sum),
     rh (int32, 16-bit packed per-codon), taxid, species, dna_enc (int32,
-    target 24-bit DNA part), plus overflow (int32 scalar, dropped
-    candidates due to cap).
+    target 24-bit DNA part), plus overflow (int32 scalar: #queries whose
+    run exceeded cap).
     """
     hamming_tbl = jnp.asarray(_HAMMING_NP)
     dna_mask = _U64((1 << DNA_BITS) - 1)
+    M = db_values.shape[0]
     db_aa = db_values >> _U64(DNA_BITS)
     q_aa = q_kmers >> _U64(DNA_BITS)
 
     lo = jnp.searchsorted(db_aa, q_aa, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(db_aa, q_aa, side="right").astype(jnp.int32)
-    run = hi - lo
-    overflow = jnp.sum(jnp.where(q_valid, jnp.maximum(run - cap, 0), 0))
 
-    offs = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(lo[:, None] + offs, 0, db_values.shape[0] - 1)
-    cmask = (offs < run[:, None]) & q_valid[:, None]
-
+    # one extra row past the cap: a query whose run still matches there
+    # overflowed (exact count is not needed — the pipeline retries with
+    # a doubled cap while any query overflows)
+    offs = jnp.arange(cap + 1, dtype=jnp.int32)[:, None]
+    pos = lo[None, :] + offs
+    idx = jnp.clip(pos, 0, M - 1)
     t_vals = db_values[idx]
-    t_dna = (t_vals & dna_mask).astype(jnp.int32)
-    q_dna = (q_kmers & dna_mask).astype(jnp.int32)[:, None]
+    cmask = ((t_vals >> _U64(DNA_BITS)) == q_aa[None, :]) \
+        & (pos < M) & q_valid[None, :]
+    overflow = jnp.sum(cmask[cap]).astype(jnp.int32)
+    cmask = cmask[:cap]
+    idx = idx[:cap]
+
+    t_dna = (t_vals[:cap] & dna_mask).astype(jnp.int32)
+    q_dna = (q_kmers & dna_mask).astype(jnp.int32)[None, :]
 
     hsum = jnp.zeros_like(t_dna)
     rh_fwd = jnp.zeros_like(t_dna)
@@ -94,14 +96,14 @@ def match_kmers(
 
     big = jnp.int32(255)
     hsum_m = jnp.where(cmask, hsum, big)
-    min_h = jnp.min(hsum_m, axis=1, keepdims=True)
+    min_h = jnp.min(hsum_m, axis=0, keepdims=True)
     cutoff = jnp.minimum(min_h * 2, 7)
     sel = cmask & (hsum <= cutoff)
 
     # forward packing iff NOT ((frame < 3) XOR (kmer_format == 2))
     fwd_frame = q_frames < 3
     use_fwd = jnp.logical_not(jnp.logical_xor(fwd_frame, kmer_format == 2))
-    rh = jnp.where(use_fwd[:, None], rh_fwd, rh_rev)
+    rh = jnp.where(use_fwd[None, :], rh_fwd, rh_rev)
 
     return {
         "sel": sel,
@@ -112,3 +114,20 @@ def match_kmers(
         "dna_enc": t_dna,
         "overflow": overflow,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "kmer_format"))
+def match_kmers(
+    q_kmers,
+    q_frames,
+    q_valid,
+    db_values,
+    db_taxids,
+    db_species,
+    cap: int = 64,
+    kmer_format: int = 2,
+):
+    """match_kmers_cm with the query-major [N, cap] public layout."""
+    out = match_kmers_cm(q_kmers, q_frames, q_valid, db_values, db_taxids,
+                         db_species, cap=cap, kmer_format=kmer_format)
+    return {k: (v if v.ndim == 0 else v.T) for k, v in out.items()}

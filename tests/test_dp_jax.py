@@ -83,25 +83,27 @@ def tensors_to_matches(sel, species, dna, rh, ham, pos, taxid, G_reads):
 
 
 def run_device_dp(sel, species, dna, rh, ham, pos, max_shift, min_depth_val):
+    """[G, W, cap] test tensors -> cap-major kernel -> [G, T, cap] output."""
     import jax.numpy as jnp
 
     from metabuli_work_tpu.ops import dp_jax
 
+    cm = lambda a: jnp.asarray(np.moveaxis(a, 2, 0))        # -> [cap, G, W]
     fields = {
-        "sel": jnp.asarray(sel), "species": jnp.asarray(species),
-        "dna": jnp.asarray(dna), "rh": jnp.asarray(rh),
-        "ham": jnp.asarray(ham), "pos": jnp.asarray(pos),
+        "sel": cm(sel), "species": cm(species), "dna": cm(dna),
+        "rh": cm(rh), "ham": cm(ham), "pos": cm(pos),
     }
     import functools
     import jax
 
     fields = dp_jax.sort_candidates(fields, fields["sel"], fields["ham"], fields["dna"])
-    md = jnp.full(sel.shape, min_depth_val, dtype=jnp.int32)
+    md = jnp.full(fields["sel"].shape, min_depth_val, dtype=jnp.int32)
     jitted = jax.jit(functools.partial(dp_jax.path_dp, max_shift=max_shift,
                                        kmer_format=2))
     out = jitted(fields["sel"], fields["species"], fields["dna"],
                  fields["rh"], fields["ham"], fields["pos"], md)
-    return {k: np.asarray(v) for k, v in out.items()}
+    # [T, cap, G] -> [G, T, cap]
+    return {k: np.moveaxis(np.asarray(v), 2, 0) for k, v in out.items()}
 
 
 def host_paths(m, taxonomer):

@@ -106,4 +106,6 @@ def test_match_overflow_reported():
         jnp.asarray(db), jnp.asarray(taxids), jnp.asarray(species),
         cap=4, kmer_format=2,
     )
-    assert int(np.asarray(out["overflow"])) == 6
+    # overflow = #queries whose AA run exceeded cap (retry signal, not a
+    # dropped-candidate count)
+    assert int(np.asarray(out["overflow"])) == 1

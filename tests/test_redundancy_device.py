@@ -63,8 +63,8 @@ def test_device_redundancy_equals_host(seed):
 
     depth, lift = tax.lca_lift_tables()
     packed, count, match_cnt = redundancy_counts(
-        jnp.asarray(sel), jnp.asarray(species), jnp.asarray(ham),
-        jnp.asarray(taxid), jnp.asarray(q_pos), jnp.asarray(q_sids),
+        jnp.asarray(sel.T), jnp.asarray(species.T), jnp.asarray(ham.T),
+        jnp.asarray(taxid.T), jnp.asarray(q_pos), jnp.asarray(q_sids),
         jnp.asarray(best_sp),
         jnp.asarray(tax.euler_first.astype(np.int32)),
         jnp.asarray(tax.euler.astype(np.int32)),
