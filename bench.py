@@ -22,7 +22,8 @@ REFERENCE_READS_PER_SEC = 10_000.0  # nominal; see module docstring
 
 N_GENOMES = 8
 GENOME_LEN = 200_000
-N_READS = 4096
+N_READS = 8192
+N_WARM = 3072          # unmeasured reads: compile + estimate stabilization
 READ_LEN = 150
 BATCH = 1024
 
@@ -93,17 +94,19 @@ def main():
 
     names = [f"r{i}" for i in range(BATCH)]
 
-    # warmup (compile) — same array shapes as the measured loop
+    # warmup: first batch compiles the fused step; the next ones let the
+    # prefix-size estimates settle so the measured loop reuses executables
     t0 = time.time()
-    lens_w = np.full(BATCH, READ_LEN, dtype=np.int32)
-    res = clf.classify_batch_arrays(names, reads[:BATCH], lens_w)
-    print(f"# warmup batch: {time.time()-t0:.1f}s", file=sys.stderr)
+    lens = np.full(BATCH, READ_LEN, dtype=np.int32)
+    warm = ((names, reads[b * BATCH:(b + 1) * BATCH], lens, None, None)
+            for b in range(N_WARM // BATCH))
+    clf.drive_batches(warm)
+    print(f"# warmup ({N_WARM} reads): {time.time()-t0:.1f}s", file=sys.stderr)
     from metabuli_work_tpu.utils.timing import StageTimer
     clf.timer = StageTimer()  # drop warmup/compile from stage stats
 
     # steady state: the production 2-deep pipeline (same as classify_file)
     n_batches = N_READS // BATCH
-    lens = np.full(BATCH, READ_LEN, dtype=np.int32)
     t0 = time.time()
     batches = ((names, reads[b * BATCH:(b + 1) * BATCH], lens, None, None)
                for b in range(n_batches))

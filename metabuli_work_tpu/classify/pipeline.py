@@ -63,6 +63,13 @@ def _bucket_len(n: int, quantum: int = 96) -> int:
     return max(quantum, quantum * math.ceil(n / quantum))
 
 
+def _pow2_bucket(n: int, floor: int = 4096) -> int:
+    """Round up to a power of two: prefix-slice shapes must come from a
+    tiny closed set — each distinct shape compiles its own executable,
+    and a per-batch-changing estimate would recompile every batch."""
+    return max(floor, 1 << max(0, (int(n) - 1)).bit_length())
+
+
 class Classifier:
     def __init__(self, db_dir, params: ClassifyParams):
         self._init_from_index(load_index(db_dir), params)
@@ -87,6 +94,12 @@ class Classifier:
         self.db_values = jnp.asarray(self.index.values)
         self.db_taxids = jnp.asarray(self.index.taxids.astype(np.int32))
         self.db_species = jnp.asarray(self.index.species.astype(np.int32))
+        from ..ops import match_jax as _mj
+
+        b_lo, aa_lo, self.bucket_shift, self.bucket_steps = _mj.build_buckets(
+            self.index.values)
+        self.bucket_lo = jnp.asarray(b_lo)
+        self.db_aa_lo = jnp.asarray(aa_lo)
         self.cap = int(min(max(self.index.max_aa_run(), 8), params.max_cap))
         self.taxonomer = VectorTaxonomer(
             self.taxonomy,
@@ -107,6 +120,7 @@ class Classifier:
         self._fetch_estimate = 1 << 17  # rows; adapts to observed match counts
         self._path_estimate = 1 << 14   # emitted-path rows
         self._pairs_estimate = 1 << 12  # redundancy (rid, taxid) pair rows
+        self._path_width = 1 << 18      # static path-compaction width
         self._init_device_dp()
 
     def _init_device_dp(self):
@@ -197,6 +211,8 @@ class Classifier:
             q_kmers, q_frames, q_valid,
             self.db_values, self.db_taxids, self.db_species,
             cap=cap, kmer_format=self.kmer_format,
+            bucket_lo=self.bucket_lo, db_aa_lo=self.db_aa_lo,
+            bucket_shift=self.bucket_shift, bucket_steps=self.bucket_steps,
         )
 
     def classify_batch(self, names, seqs1, seqs2=None):
@@ -241,14 +257,16 @@ class Classifier:
             j2 = jnp.zeros(B, dtype=jnp.int32)
         return r1, j1, r2, j2, l1, l2, paired
 
-    def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None):
+    def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None,
+                           path_width=None):
         from ..models.flagship import fused_step_dp
 
         B = len(names)
         cap = cap or self.cap
+        path_width = path_width or self._path_width
         with self.timer.stage("dispatch"):
             r1, j1, r2, j2, l1, l2, paired = self._prep_arrays(a1, l1, a2, l2, B)
-            paths_packed, paths_count, overflow, resident = fused_step_dp(
+            paths_packed, stats, resident = fused_step_dp(
                 r1, j1, r2, j2,
                 self.db_values, self.db_taxids, self.db_species,
                 self.euk_species,
@@ -256,21 +274,26 @@ class Classifier:
                 min_cons_euk=int(self.params.min_cons_cnt_euk),
                 cap=cap, kmer_format=self.kmer_format,
                 syncmer=self.syncmer, smer_len=self.smer_len, paired=paired,
+                bucket_lo=self.bucket_lo, db_aa_lo=self.db_aa_lo,
+                bucket_shift=self.bucket_shift, bucket_steps=self.bucket_steps,
+                path_width=path_width,
             )
             est = min(self._path_estimate, paths_packed.shape[1])
             prefix = paths_packed[:, :est]
-            try:
-                prefix.copy_to_host_async()
-            except AttributeError:
-                pass
+            for arr in (prefix, stats):
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass
             lmax = r1.shape[1] + (r2.shape[1] + 3 if paired else 0)
             n_quot = lmax // int(self.taxonomer.dna_shift) + 2
         return {
             "dp": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
-            "a1": a1, "a2": a2, "overflow": overflow,
-            "paths": (paths_packed, paths_count), "prefix": prefix, "est": est,
+            "a1": a1, "a2": a2, "stats": stats,
+            "paths": paths_packed, "prefix": prefix, "est": est,
             "resident": resident, "n_quot": n_quot,
         }
+
 
     def _finish_batch_dp(self, ctx):
         return self._finish_dp_phase2(self._finish_dp_phase1(ctx))
@@ -285,22 +308,30 @@ class Classifier:
         from ..ops import dp_jax
         from .taxonomer import ReadResult as RR
 
-        while int(ctx["overflow"]) > 0 and ctx["cap"] < self.index.max_aa_run():
+        st = np.asarray(ctx["stats"])
+        while int(st[0]) > 0 and ctx["cap"] < self.index.max_aa_run():
             cap = min(ctx["cap"] * 2, self.index.max_aa_run())
             self.cap = max(self.cap, cap)
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
                                           ctx["a2"], ctx["l2"], cap=cap)
+            st = np.asarray(ctx["stats"])
+        # path-compaction width overflow: re-run with a doubled static width
+        while int(st[1]) > ctx["paths"].shape[1]:
+            self._path_width = max(self._path_width, ctx["paths"].shape[1]) * 2
+            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
+                                          ctx["a2"], ctx["l2"], cap=ctx["cap"],
+                                          path_width=self._path_width)
+            st = np.asarray(ctx["stats"])
 
         names, l1, l2 = ctx["names"], ctx["l1"], ctx["l2"]
         B = len(names)
         with self.timer.stage("fetch"):
-            n = int(ctx["paths"][1])
+            n = int(st[1])
             if n <= ctx["est"]:
                 arr = np.asarray(ctx["prefix"])[:, :n]
             else:
-                arr = np.asarray(ctx["paths"][0][:, :n])
-            quantum = 1 << 12
-            self._path_estimate = max(quantum, -(-int(n * 1.5) // quantum) * quantum)
+                arr = np.asarray(ctx["paths"][:, :n])
+            self._path_estimate = _pow2_bucket(int(n * 1.5))
 
         with self.timer.stage("score"):
             paths = dp_jax.decode_paths(arr)
@@ -334,7 +365,7 @@ class Classifier:
                 from ..models.flagship import redundancy_counts
 
                 sel, species, ham, taxid_t, q_pos, q_sids = ctx["resident"]
-                packed2, count2, match_cnt = redundancy_counts(
+                packed2, stats2 = redundancy_counts(
                     sel, species, ham, taxid_t, q_pos, q_sids,
                     jnp.asarray(best_sp),
                     self.euler_first, self.euler, self.lca_depth,
@@ -343,11 +374,12 @@ class Classifier:
                     n_quot=ctx["n_quot"])
                 est2 = min(self._pairs_estimate, packed2.shape[1])
                 prefix2 = packed2[:, :est2]
-                try:
-                    prefix2.copy_to_host_async()
-                except AttributeError:
-                    pass
-                out_ctx.update(pairs=(packed2, count2), match_cnt=match_cnt,
+                for arr2 in (prefix2, stats2):
+                    try:
+                        arr2.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                out_ctx.update(pairs=packed2, stats2=stats2,
                                prefix2=prefix2, est2=est2)
         return out_ctx
 
@@ -356,15 +388,14 @@ class Classifier:
         results = ctx["results"]
         if ctx["deferred"]:
             with self.timer.stage("redundancy_sync"):
-                n2 = int(ctx["pairs"][1])
+                st2 = np.asarray(ctx["stats2"])
+                n2 = int(st2[0])
                 if n2 <= ctx["est2"]:
                     m2 = np.asarray(ctx["prefix2"])[:, :n2]
                 else:
-                    m2 = np.asarray(ctx["pairs"][0][:, :n2])
-                quantum = 1 << 12
-                self._pairs_estimate = max(quantum,
-                                           -(-int(n2 * 1.5) // quantum) * quantum)
-                self.total_match_cnt += int(ctx["match_cnt"])
+                    m2 = np.asarray(ctx["pairs"][:, :n2])
+                self._pairs_estimate = _pow2_bucket(int(n2 * 1.5))
+                self.total_match_cnt += int(st2[1])
                 # per-(read, lca) group counts -> tax_cnt dicts
                 key = (m2[0].astype(np.int64) << 32) | m2[1].astype(np.int64)
                 uniq, cnts = np.unique(key, return_counts=True)
@@ -421,6 +452,8 @@ class Classifier:
                 self.db_values, self.db_taxids, self.db_species,
                 cap=cap, kmer_format=self.kmer_format,
                 syncmer=self.syncmer, smer_len=self.smer_len, paired=paired,
+                bucket_lo=self.bucket_lo, db_aa_lo=self.db_aa_lo,
+                bucket_shift=self.bucket_shift, bucket_steps=self.bucket_steps,
             )
             # start the device->host copy of an estimated match prefix NOW so
             # the transfer overlaps the host scoring of the previous batch
@@ -456,10 +489,8 @@ class Classifier:
                 arr = np.asarray(ctx["prefix"])[:, :n]
             else:  # estimate too small; fall back to a full-prefix fetch
                 arr = compact_jax.fetch_compacted(ctx["packed"])
-            quantum = 1 << 15
-            self._fetch_estimate = max(
-                quantum, min(-(-int(n * 1.5) // quantum) * quantum,
-                             ctx["packed"][0].shape[1]))
+            self._fetch_estimate = min(_pow2_bucket(int(n * 1.5), floor=1 << 15),
+                                       ctx["packed"][0].shape[1])
         with self.timer.stage("decode+sort"):
             m = compact_jax.decode_matches(arr, MATCH_DTYPE)
             m = sort_matches(m)

@@ -36,10 +36,14 @@ def classify_step(reads, lengths, db_values, db_taxids, db_species,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "kmer_format", "syncmer", "smer_len", "paired"))
+@functools.partial(jax.jit, static_argnames=("cap", "kmer_format", "syncmer",
+                                              "smer_len", "paired",
+                                              "bucket_shift", "bucket_steps"))
 def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
                cap: int = 16, kmer_format: int = 2,
-               syncmer: bool = False, smer_len: int = 5, paired: bool = False):
+               syncmer: bool = False, smer_len: int = 5, paired: bool = False,
+               bucket_lo=None, db_aa_lo=None,
+               bucket_shift: int = 0, bucket_steps: int = 0):
     """One-dispatch device pipeline: extract (+mate2) -> probe -> compact.
 
     Fusing the whole per-batch device path into a single XLA program
@@ -70,20 +74,26 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
         qs = jnp.concatenate([qs, qs2])
         qv = jnp.concatenate([qv, qv2])
     out = match_jax.match_kmers(qk, qf, qv, db_values, db_taxids, db_species,
-                                cap=cap, kmer_format=kmer_format)
+                                cap=cap, kmer_format=kmer_format,
+                                bucket_lo=bucket_lo, db_aa_lo=db_aa_lo,
+                                bucket_shift=bucket_shift,
+                                bucket_steps=bucket_steps)
     packed, count = compact_jax.compact_and_sort(out, qp, qf, qs)
     return packed, count, out["overflow"]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
-    "paired"))
+    "paired", "bucket_shift", "bucket_steps", "path_width"))
 def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
                   db_species, euk_species, min_cons: int = 4,
                   min_cons_euk: int = 9,
                   cap: int = 16, kmer_format: int = 2,
                   syncmer: bool = False, smer_len: int = 5,
-                  paired: bool = False):
+                  paired: bool = False,
+                  bucket_lo=None, db_aa_lo=None,
+                  bucket_shift: int = 0, bucket_steps: int = 0,
+                  path_width: int = 0):
     """Full device pipeline WITH on-device path DP.
 
     extract (+mate2) -> probe -> per-window candidate sort -> path DP ->
@@ -94,8 +104,9 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
     euk_species: bool [n_taxonomy_nodes] — species under Eukaryota get
     minConsCntEuk (reference Taxonomer.cpp:497-500).
 
-    Returns (paths_packed [7, P], paths_count, overflow, resident) where
-    resident = (sel, species, ham, taxid, q_pos, q_sids) kept on device.
+    Returns (paths_packed [7, P], stats int32 [overflow, path_count],
+    resident) where resident = (sel, species, ham, taxid, q_pos, q_sids)
+    stays on device for the later redundancy kernel.
     """
     from ..ops import compact_jax, dp_jax
 
@@ -124,7 +135,10 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
     qv = jnp.concatenate([p[4] for p in parts])
 
     out = match_jax.match_kmers_cm(qk, qf, qv, db_values, db_taxids,
-                                   db_species, cap=cap, kmer_format=kmer_format)
+                                   db_species, cap=cap, kmer_format=kmer_format,
+                                   bucket_lo=bucket_lo, db_aa_lo=db_aa_lo,
+                                   bucket_shift=bucket_shift,
+                                   bucket_steps=bucket_steps)
 
     max_shift = (8 - smer_len) if syncmer else 1
     packed_parts = []
@@ -157,10 +171,14 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
 
     cols = jnp.concatenate(packed_parts, axis=1)
     psel = jnp.concatenate(sel_parts)
-    paths_packed, paths_count = dp_jax.compact_columns(cols, psel)
+    paths_packed, paths_count = dp_jax.compact_columns(cols, psel,
+                                                       out_width=path_width)
 
     resident = (out["sel"], out["species"], out["hamming"], out["taxid"], qp, qs)
-    return paths_packed, paths_count, out["overflow"], resident
+    # stats ride home as ONE tiny array (async-copyable): separate scalar
+    # int() fetches each pay a full tunnel round-trip
+    stats = jnp.stack([out["overflow"], paths_count])
+    return paths_packed, stats, resident
 
 
 def _lca_pair_lift(a, b, depth, lift):
@@ -197,7 +215,8 @@ def redundancy_counts(sel, species, ham, taxid, q_pos, q_sids,
     match count.  Replaces a match-level device->host fetch + host
     lexsort/LCA-fold (reference Taxonomer::filterRedundantMatches +
     per-group LCA, src/commons/Taxonomer.cpp:219-243) with two scatter
-    extremes and ~2*log(depth) gathers on device.
+    extremes and ~2*log(depth) gathers on device.  Returns
+    (packed [2, n_groups], stats int32 [pair_count, match_count]).
     """
     from ..ops import dp_jax
 
@@ -207,24 +226,26 @@ def redundancy_counts(sel, species, ham, taxid, q_pos, q_sids,
     n_groups = (B1 - 1) * n_quot
     BIG = jnp.int32(0x7FFFFFFF)
 
-    qid = jnp.broadcast_to(q_sids[None, :], (cap, N))
-    want = best_sp_per_read[qid]
-    sel2 = sel & (species == want) & (want > 0)
+    want = best_sp_per_read[q_sids]                       # [N]
+    sel2 = sel & (species == want[None, :]) & (want[None, :] > 0)
 
     quot = jnp.clip(q_pos // dna_shift, 0, n_quot - 1)
-    gidx = ((q_sids - 1) * n_quot + quot)
-    gidx = jnp.broadcast_to(gidx[None, :], (cap, N)).reshape(cap * N)
-    sel2f = sel2.reshape(cap * N)
-    hamf = jnp.where(sel2f, ham.reshape(cap * N).astype(I32), BIG)
+    gidx = (q_sids - 1) * n_quot + quot                   # [N]
 
-    minh = jnp.full(n_groups, BIG, I32).at[gidx].min(hamf, mode="drop")
-    ismin = sel2f & (hamf == minh[gidx])
+    # two-level reduction: collapse the cap axis per query slot with
+    # cheap vector mins/maxes, then scatter only [N] rows per group —
+    # cap-fold less scatter traffic than scattering every candidate
+    hamv = jnp.where(sel2, ham.astype(I32), BIG)
+    slot_min = jnp.min(hamv, axis=0)                      # [N]
+    minh = jnp.full(n_groups, BIG, I32).at[gidx].min(slot_min, mode="drop")
+    gmin = minh[jnp.clip(gidx, 0, n_groups - 1)]          # [N]
+    ismin = sel2 & (hamv == gmin[None, :])
 
-    f = euler_first[jnp.clip(taxid.reshape(cap * N), 0, euler_first.shape[0] - 1)]
-    fmin = jnp.full(n_groups, BIG, I32).at[gidx].min(
-        jnp.where(ismin, f, BIG), mode="drop")
-    fmax = jnp.full(n_groups, I32(-1), I32).at[gidx].max(
-        jnp.where(ismin, f, I32(-1)), mode="drop")
+    f = euler_first[jnp.clip(taxid, 0, euler_first.shape[0] - 1)]
+    slot_fmin = jnp.min(jnp.where(ismin, f, BIG), axis=0)
+    slot_fmax = jnp.max(jnp.where(ismin, f, I32(-1)), axis=0)
+    fmin = jnp.full(n_groups, BIG, I32).at[gidx].min(slot_fmin, mode="drop")
+    fmax = jnp.full(n_groups, I32(-1), I32).at[gidx].max(slot_fmax, mode="drop")
 
     gvalid = minh < BIG
     a = euler[jnp.clip(fmin, 0, euler.shape[0] - 1)]
@@ -234,7 +255,8 @@ def redundancy_counts(sel, species, ham, taxid, q_pos, q_sids,
     rid = jnp.arange(n_groups, dtype=I32) // n_quot + 1
     cols = jnp.stack([rid, lca.astype(I32)])
     packed, count = dp_jax.compact_columns(cols, gvalid)
-    return packed, count, jnp.sum(sel2f).astype(I32)
+    stats = jnp.stack([count, jnp.sum(sel2).astype(I32)])
+    return packed, stats
 
 
 def synthetic_db(n_kmers=4096, n_species=8, seed=0):

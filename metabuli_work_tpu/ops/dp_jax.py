@@ -278,15 +278,30 @@ def pack_paths(out):
     return cols, sel
 
 
-def compact_columns(cols, sel):
-    """Scatter valid rows of [C, N] int32 columns to the front."""
+def compact_columns(cols, sel, out_width: int = 0):
+    """Compact valid rows of [C, N] int32 columns to the front.
+
+    out_width == 0: legacy full-width scatter (packed is [C, N]).
+    out_width > 0: two-stage compaction — scatter ONE int32 src-index
+    column of width out_width, then gather each payload column at those
+    indices.  Cuts scatter traffic C-fold; rows past out_width are
+    dropped (count still reports the true total so callers can detect
+    overflow and re-run wider).
+    """
     total = sel.shape[0]
+    count = jnp.sum(sel).astype(I32)
     dest = jnp.cumsum(sel.astype(I32)) - 1
+    if out_width and out_width < total:
+        W = out_width
+        d = jnp.where(sel, dest, W)
+        src = jnp.zeros(W, I32).at[d].set(
+            jnp.arange(total, dtype=I32), mode="drop")
+        packed = cols[:, src]
+        return packed, count
     dest = jnp.where(sel, dest, total - 1)
     packed = jnp.zeros_like(cols)
     for i in range(cols.shape[0]):
         packed = packed.at[i, dest].set(cols[i], mode="drop")
-    count = jnp.sum(sel).astype(I32)
     return packed, count
 
 

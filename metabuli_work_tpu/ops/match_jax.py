@@ -28,9 +28,68 @@ import numpy as np
 
 from .genetic_code import HAMMING_TABLE, KMER_LEN
 
-_HAMMING_NP = HAMMING_TABLE.astype(np.int32)  # np: becomes an HLO literal inside traces
 _U64 = jnp.uint64
 DNA_BITS = 24
+
+
+def _pack_hamming_consts():
+    """Bit-pack HAMMING_TABLE (64 entries, values 0..4) into scalars.
+
+    TPU gathers from tiny tables are far slower than a handful of VPU
+    shifts: the low 2 bits of each entry go into four 32-bit lanes
+    (16 entries x 2 bits each) and the "value==4" bit into two 32-bit
+    lanes, so a lookup becomes selects + variable shifts — no gather.
+    Note value&3 == the reference's h2 (4 -> 0), so the packed low bits
+    double as the per-codon rightEndHamming field.
+    """
+    t = HAMMING_TABLE.astype(np.uint32)
+    low = [np.uint32(sum(int(t[16 * j + i] & 3) << (2 * i) for i in range(16)))
+           for j in range(4)]
+    high = [np.uint32(sum((int(t[32 * j + i]) >> 2) << i for i in range(32)))
+            for j in range(2)]
+    return low, high
+
+
+_HAM_LOW, _HAM_HIGH = _pack_hamming_consts()
+
+
+def _codon_hamming(idx):
+    """(low2, full) per-codon hamming from packed constants; idx uint32 0..63."""
+    U32 = jnp.uint32
+    sel = idx >> U32(4)
+    lane = jnp.where(sel == 0, U32(_HAM_LOW[0]),
+                     jnp.where(sel == 1, U32(_HAM_LOW[1]),
+                               jnp.where(sel == 2, U32(_HAM_LOW[2]),
+                                         U32(_HAM_LOW[3]))))
+    low2 = (lane >> ((idx & U32(15)) << U32(1))) & U32(3)
+    hlane = jnp.where(idx >> U32(5) == 0, U32(_HAM_HIGH[0]), U32(_HAM_HIGH[1]))
+    hbit = (hlane >> (idx & U32(31))) & U32(1)
+    return low2.astype(jnp.int32), (low2 + (hbit << U32(2))).astype(jnp.int32)
+
+
+def build_buckets(values: np.ndarray, max_bits: int = 24):
+    """Host-side bucket table over the AA part of a sorted metamer array.
+
+    Returns (bucket_lo int32 [2^bits+1], aa_lo uint32 [M], shift, steps):
+    bucket b covers AA parts whose top ``40-shift`` bits equal b, so a
+    probe narrows to [bucket_lo[b], bucket_lo[b+1]) with one gather and
+    finishes with ``steps`` binary-search iterations comparing only the
+    low 32 AA bits (valid because bits >= 8).  Replaces the 22-iteration
+    jnp.searchsorted over the full array (the reference's analogue is the
+    4096-entry `split` checkpoint table, IndexCreator.cpp:811-866).
+    """
+    aa = (values >> np.uint64(DNA_BITS)).astype(np.uint64)
+    m = len(aa)
+    bits = int(min(max_bits, max(8, int(np.ceil(np.log2(max(m, 2)))) + 1)))
+    shift = 40 - bits
+    b = (aa >> np.uint64(shift)).astype(np.int64)
+    counts = np.bincount(b, minlength=1 << bits)
+    bucket_lo = np.zeros((1 << bits) + 1, dtype=np.int32)
+    np.cumsum(counts, out=bucket_lo[1:])
+    max_run = int(counts.max()) if m else 0
+    steps = max(1, int(np.ceil(np.log2(max_run + 1)))) if max_run else 1
+    aa_lo = (aa & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return bucket_lo, aa_lo, shift, steps
 
 
 def match_kmers_cm(
@@ -42,6 +101,10 @@ def match_kmers_cm(
     db_species,
     cap: int = 64,
     kmer_format: int = 2,
+    bucket_lo=None,
+    db_aa_lo=None,
+    bucket_shift: int = 0,
+    bucket_steps: int = 0,
 ):
     """Probe sorted DB with query metamers — cap-MAJOR layout.
 
@@ -58,13 +121,26 @@ def match_kmers_cm(
     target 24-bit DNA part), plus overflow (int32 scalar: #queries whose
     run exceeded cap).
     """
-    hamming_tbl = jnp.asarray(_HAMMING_NP)
     dna_mask = _U64((1 << DNA_BITS) - 1)
     M = db_values.shape[0]
-    db_aa = db_values >> _U64(DNA_BITS)
     q_aa = q_kmers >> _U64(DNA_BITS)
 
-    lo = jnp.searchsorted(db_aa, q_aa, side="left").astype(jnp.int32)
+    if bucket_lo is not None:
+        # bucket gather + short bounded binary search on the low 32 AA bits
+        qb = (q_aa >> _U64(bucket_shift)).astype(jnp.int32)
+        lo = bucket_lo[qb]
+        hi = bucket_lo[qb + 1]
+        q_lo32 = (q_aa & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+        for _ in range(bucket_steps):
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            v = db_aa_lo[jnp.clip(mid, 0, M - 1)]
+            go = active & (v < q_lo32)
+            hi = jnp.where(active & ~go, mid, hi)
+            lo = jnp.where(go, mid + 1, lo)
+    else:
+        db_aa = db_values >> _U64(DNA_BITS)
+        lo = jnp.searchsorted(db_aa, q_aa, side="left").astype(jnp.int32)
 
     # one extra row past the cap: a query whose run still matches there
     # overflowed (exact count is not needed — the pipeline retries with
@@ -85,12 +161,13 @@ def match_kmers_cm(
     hsum = jnp.zeros_like(t_dna)
     rh_fwd = jnp.zeros_like(t_dna)
     rh_rev = jnp.zeros_like(t_dna)
+    t_u = t_dna.astype(jnp.uint32)
+    q_u = q_dna.astype(jnp.uint32)
     for i in range(KMER_LEN):
-        qi = (q_dna >> (3 * i)) & 7
-        ti = (t_dna >> (3 * i)) & 7
-        h = hamming_tbl[(qi << 3) | ti]
+        qi = (q_u >> jnp.uint32(3 * i)) & jnp.uint32(7)
+        ti = (t_u >> jnp.uint32(3 * i)) & jnp.uint32(7)
+        h2, h = _codon_hamming((qi << jnp.uint32(3)) | ti)
         hsum = hsum + h
-        h2 = h & 3
         rh_fwd = rh_fwd | (h2 << (2 * i))
         rh_rev = rh_rev | (h2 << (2 * (KMER_LEN - 1 - i)))
 
@@ -116,7 +193,8 @@ def match_kmers_cm(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "kmer_format"))
+@functools.partial(jax.jit, static_argnames=("cap", "kmer_format",
+                                              "bucket_shift", "bucket_steps"))
 def match_kmers(
     q_kmers,
     q_frames,
@@ -126,8 +204,14 @@ def match_kmers(
     db_species,
     cap: int = 64,
     kmer_format: int = 2,
+    bucket_lo=None,
+    db_aa_lo=None,
+    bucket_shift: int = 0,
+    bucket_steps: int = 0,
 ):
     """match_kmers_cm with the query-major [N, cap] public layout."""
     out = match_kmers_cm(q_kmers, q_frames, q_valid, db_values, db_taxids,
-                         db_species, cap=cap, kmer_format=kmer_format)
+                         db_species, cap=cap, kmer_format=kmer_format,
+                         bucket_lo=bucket_lo, db_aa_lo=db_aa_lo,
+                         bucket_shift=bucket_shift, bucket_steps=bucket_steps)
     return {k: (v if v.ndim == 0 else v.T) for k, v in out.items()}

@@ -62,7 +62,7 @@ def test_device_redundancy_equals_host(seed):
         ham[sel2].astype(np.int64), taxid[sel2].astype(np.int64))
 
     depth, lift = tax.lca_lift_tables()
-    packed, count, match_cnt = redundancy_counts(
+    packed, stats = redundancy_counts(
         jnp.asarray(sel.T), jnp.asarray(species.T), jnp.asarray(ham.T),
         jnp.asarray(taxid.T), jnp.asarray(q_pos), jnp.asarray(q_sids),
         jnp.asarray(best_sp),
@@ -70,8 +70,8 @@ def test_device_redundancy_equals_host(seed):
         jnp.asarray(tax.euler.astype(np.int32)),
         jnp.asarray(depth), jnp.asarray(lift),
         dna_shift=dna_shift, n_quot=n_quot)
-    n2 = int(count)
-    assert int(match_cnt) == int(sel2.sum())
+    n2 = int(stats[0])
+    assert int(stats[1]) == int(sel2.sum())
     m2 = np.asarray(packed[:, :n2])
     tax_dev: dict = {}
     for r, t in zip(m2[0].tolist(), m2[1].tolist()):
