@@ -48,6 +48,7 @@ def cmd_build(args):
         write_reference_format=args.reference_format,
         db_name=args.db_name,
         cds_info_path=args.cds_info,
+        orf_prediction=args.orf_prediction,
     )
     print(f"DB creation completed ({time.time()-t0:.1f}s)")
     print(f"Total k-mer count   : {index.size}")
@@ -419,6 +420,14 @@ def cmd_grade_by(args):
                     args.strata, ranks=args.ranks.split(","), label=args.label)
 
 
+def cmd_grade_group_by(args):
+    from .report.benchmark import grade_group_by_strata
+
+    grade_group_by_strata(args.groups, args.answer, args.dbdir,
+                          args.strata, ranks=args.ranks.split(","),
+                          label="coverage")
+
+
 def cmd_mapping2taxon(args):
     from .report.benchmark import mapping2taxon
 
@@ -519,6 +528,9 @@ def main(argv=None):
                    help="also write reference-compatible diffIdx/info/split")
     p.add_argument("--cds-info", default=None,
                    help="GFF3 or TSV of CDS spans: extract in-frame per block")
+    p.add_argument("--orf-prediction", action="store_true",
+                   help="extract from predicted extended ORFs (Prodigal's "
+                        "role in the reference build) instead of 6 frames")
     p.set_defaults(func=cmd_build)
 
     p = sub.add_parser("classify", help="classify reads against a database")
@@ -725,6 +737,15 @@ def main(argv=None):
     p.add_argument("dbdir")
     p.add_argument("--ranks", default="species,genus,family")
     p.set_defaults(func=cmd_grade_group)
+
+    p = sub.add_parser("gradeGroupByCoverage",
+                       help="group purity grading per coverage stratum")
+    p.add_argument("groups")
+    p.add_argument("answer")
+    p.add_argument("dbdir")
+    p.add_argument("strata", help="TSV: read_id, coverage bucket")
+    p.add_argument("--ranks", default="species,genus,family")
+    p.set_defaults(func=cmd_grade_group_by)
 
     p = sub.add_parser("gradeByCoverage", help="grading stratified by coverage bucket")
     p.add_argument("classifications")

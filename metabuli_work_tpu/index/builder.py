@@ -230,8 +230,14 @@ def build_database(
     write_reference_format: bool = False,
     db_name: str = "",
     cds_info_path: str = None,
+    orf_prediction: bool = False,
 ):
-    """End-to-end `build` command (reference workflow/build.cpp:32-131)."""
+    """End-to-end `build` command (reference workflow/build.cpp:32-131).
+
+    orf_prediction: restrict extraction to predicted extended ORF blocks
+    (index/orf.py) instead of all six frames — the role Prodigal plays
+    in the reference build (IndexCreator.cpp:1124-1212).  Explicit
+    ``--cds-info`` blocks win over prediction per accession."""
     taxonomy = Taxonomy.from_taxdump(taxdump_dir)
     acc2taxid = load_acc2taxid(acc2taxid_path)
     cds_info = load_cds_info(cds_info_path) if cds_info_path else {}
@@ -250,7 +256,12 @@ def build_database(
             internal = taxonomy.to_internal(taxid)
             if internal == 0:
                 continue
-            builder.add_sequence(rec.seq, internal, cds_blocks=cds_info.get(acc))
+            blocks = cds_info.get(acc)
+            if blocks is None and orf_prediction:
+                from .orf import predict_orfs
+
+                blocks = predict_orfs(rec.seq) or None
+            builder.add_sequence(rec.seq, internal, cds_blocks=blocks)
             acc_map_out.append((rec.name, taxid))
 
     index = builder.finalize()

@@ -196,6 +196,48 @@ def grade_group(groups_path, answer_path, db_dir, ranks=None):
     return results
 
 
+def grade_group_by_strata(groups_path, answer_path, db_dir, strata_path,
+                          ranks=None, label="coverage"):
+    """Group purity per stratum (reference gradeGroupByCoverage.cpp):
+    split each group's members by their stratum (e.g. read coverage
+    bucket) and grade purity within each stratum separately."""
+    strata = {}
+    with open(strata_path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and not line.startswith("#"):
+                strata[parts[0]] = parts[1]
+
+    groups = {}
+    with open(groups_path) as f:
+        for line in f:
+            parts = [p for p in line.rstrip("\n").split("\t") if p]
+            if len(parts) >= 2:
+                groups[int(parts[0])] = parts[1:]
+
+    by_stratum = defaultdict(dict)
+    for gid, members in groups.items():
+        for rid in members:
+            s = strata.get(str(rid)) or strata.get(rid)
+            if s is None:
+                continue
+            by_stratum[s].setdefault(gid, []).append(rid)
+
+    results = {}
+    import tempfile
+
+    for stratum, sub_groups in sorted(by_stratum.items()):
+        with tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False) as tf:
+            for gid, members in sorted(sub_groups.items()):
+                tf.write("\t".join([str(gid)] + [str(m) for m in members]) + "\n")
+            tmp = tf.name
+        n = sum(len(m) for m in sub_groups.values())
+        print(f"--- {label}: {stratum} ({len(sub_groups)} groups, {n} members) ---")
+        results[stratum] = grade_group(tmp, answer_path, db_dir, ranks=ranks)
+        os.unlink(tmp)
+    return results
+
+
 def mapping2taxon(mapping_path, db_dir, out_path, rank="species"):
     """Convert a read->taxid mapping to read->taxon-at-rank (reference
     src/util/mapping2taxon.cpp)."""

@@ -88,3 +88,20 @@ def test_grade_by_strata(taxdir, tmp_path):
     assert set(res.keys()) == {"high", "low"}
     assert res["high"]["species"][0] == 1.0   # r1, r3 correct
     assert res["low"]["species"][0] == 0.0    # r2 wrong at species
+
+
+def test_grade_group_by_strata(taxdir, tmp_path):
+    from metabuli_work_tpu.report.benchmark import grade_group_by_strata
+
+    groups = tmp_path / "groups"
+    groups.write_text("5\t1\t2\t3\t\n9\t4\t5\t\n")
+    answer = tmp_path / "ans.tsv"
+    answer.write_text("1\t111\n2\t111\n3\t121\n4\t121\n5\t121\n")
+    strata = tmp_path / "s.tsv"
+    # high: members 1,2 (pure) + 4,5 (pure); low: member 3 alone (pure)
+    strata.write_text("1\thigh\n2\thigh\n3\tlow\n4\thigh\n5\thigh\n")
+    res = grade_group_by_strata(str(groups), str(answer), taxdir, str(strata),
+                                ranks=["species"])
+    assert set(res.keys()) == {"high", "low"}
+    assert abs(res["high"]["species"] - 1.0) < 1e-9
+    assert abs(res["low"]["species"] - 1.0) < 1e-9
