@@ -59,7 +59,11 @@ class QueryRecord:
         return self.length1 + self.length2
 
 
-def _bucket_len(n: int, quantum: int = 96) -> int:
+def _bucket_len(n: int, quantum: int = 24) -> int:
+    """Pad read length to a bucket: every [N] probe/DP tensor scales with
+    lmax//3-7 windows, so a tight quantum directly cuts gather traffic
+    (24 nt = 8 codons keeps the distinct-shape count small enough that
+    recompiles stay rare)."""
     return max(quantum, quantum * math.ceil(n / quantum))
 
 
@@ -130,7 +134,6 @@ class Classifier:
         p = self.params
         self.use_device_dp = p.min_cons_cnt >= 2 and p.min_cons_cnt_euk >= 2
         if not self.use_device_dp:
-            self.euk_species = None
             return
         n = self.taxonomy.num_nodes()
         euk = self.taxonomy.eukaryota_id()
@@ -138,12 +141,21 @@ class Classifier:
             mask = np.asarray(self.taxonomy.is_ancestor(euk, np.arange(n)))
         else:
             mask = np.zeros(n, dtype=bool)
-        self.euk_species = jnp.asarray(mask)
-        # device LCA tables for the on-device redundancy filter
+        # euk-ness rides in bit 30 of the species payload: one candidate
+        # gather instead of two ([cap, N] table gathers are ~20 ms each)
+        sp = self.index.species.astype(np.int64)
+        assert int(sp.max(initial=0)) < (1 << 30)
+        sp_euk = (sp | (mask[sp].astype(np.int64) << 30)).astype(np.int32)
+        self.db_species_dp = jnp.asarray(sp_euk)
+        # device LCA tables for the on-device redundancy filter; the
+        # euler-first position is prefolded per DB entry so the fused
+        # step's payload gather directly yields LCA-ready coordinates
         depth, lift = self.taxonomy.lca_lift_tables()
         self.lca_depth = jnp.asarray(depth)
         self.lca_lift = jnp.asarray(lift)
-        self.euler_first = jnp.asarray(self.taxonomy.euler_first.astype(np.int32))
+        ef = self.taxonomy.euler_first.astype(np.int64)
+        self.db_euler_first = jnp.asarray(
+            ef[self.index.taxids.astype(np.int64)].astype(np.int32))
         self.euler = jnp.asarray(self.taxonomy.euler.astype(np.int32))
 
     # ------------------------------------------------------------------ #
@@ -268,8 +280,7 @@ class Classifier:
             r1, j1, r2, j2, l1, l2, paired = self._prep_arrays(a1, l1, a2, l2, B)
             paths_packed, stats, resident = fused_step_dp(
                 r1, j1, r2, j2,
-                self.db_values, self.db_taxids, self.db_species,
-                self.euk_species,
+                self.db_values, self.db_euler_first, self.db_species_dp,
                 min_cons=int(self.params.min_cons_cnt),
                 min_cons_euk=int(self.params.min_cons_cnt_euk),
                 cap=cap, kmer_format=self.kmer_format,
@@ -364,12 +375,11 @@ class Classifier:
 
                 from ..models.flagship import redundancy_counts
 
-                sel, species, ham, taxid_t, q_pos, q_sids = ctx["resident"]
+                sel, species, ham, ef, q_pos, q_sids = ctx["resident"]
                 packed2, stats2 = redundancy_counts(
-                    sel, species, ham, taxid_t, q_pos, q_sids,
+                    sel, species, ham, ef, q_pos, q_sids,
                     jnp.asarray(best_sp),
-                    self.euler_first, self.euler, self.lca_depth,
-                    self.lca_lift,
+                    self.euler, self.lca_depth, self.lca_lift,
                     dna_shift=int(self.taxonomer.dna_shift),
                     n_quot=ctx["n_quot"])
                 est2 = min(self._pairs_estimate, packed2.shape[1])

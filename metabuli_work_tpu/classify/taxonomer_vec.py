@@ -60,6 +60,109 @@ def _ham_increment_vec(rh: np.ndarray, shift: np.ndarray, max_shift: int) -> np.
     return s
 
 
+def _part_score_vec(rh, rng, left: bool):
+    """Vectorized _left/_right_part_score: same f32 add sequence,
+    masked rounds instead of a data-dependent loop bound."""
+    s = np.zeros(rh.shape, dtype=np.float32)
+    for i in range(8):
+        act = i < rng
+        sh = (14 - 2 * i) if left else (2 * i)
+        h = (rh >> sh) & 3
+        inc = np.where(h == 0, _f32(3.0),
+                       _f32(2.0) - _f32(0.5) * h.astype(np.float32))
+        s = np.where(act, s + inc.astype(np.float32), s)
+    return s
+
+
+def _part_ham_vec(rh, rng, left: bool):
+    s = np.zeros(rh.shape, dtype=np.int64)
+    for i in range(8):
+        sh = (14 - 2 * i) if left else (2 * i)
+        s += np.where(i < rng, (rh >> sh) & 3, 0)
+    return s
+
+
+def _combine_paths_batch(paths, starts, cnts):
+    """Vectorized combineMatchPaths (reference Taxonomer.cpp:410-468)
+    across many (read, species) runs at once.
+
+    starts/cnts: per-run first path index and path count into the flat
+    ``paths`` arrays.  Replays the greedy best-score-first selection with
+    <24 nt overlap trimming (trimMatchPath, Taxonomer.cpp:475-485) as
+    K x K masked rounds over [n_runs] lanes — K = max paths per run is
+    small, so this is ~K^2 cheap vector ops instead of a Python loop
+    building MatchPath objects per run.  Returns the f32 score sums in
+    the scalar code's accumulation order.
+    """
+    R = len(starts)
+    K = int(cnts.max())
+    n = len(paths["start"])
+    rows = np.minimum(starts[:, None] + np.arange(K)[None, :], n - 1)
+    valid = np.arange(K)[None, :] < cnts[:, None]
+
+    ps = paths["start"][rows].astype(np.int64)
+    pe = paths["end"][rows].astype(np.int64)
+    psc = paths["score"][rows].astype(np.float32)
+    pham = paths["hamming"][rows].astype(np.int64)
+    prhs = paths["rh_start"][rows].astype(np.int64)
+    prhe = paths["rh_end"][rows].astype(np.int64)
+
+    # per-run stable sort by (-score, hamming, -start) — the scalar
+    # list.sort key with float(p.score) (exact f32->f64)
+    rid = np.broadcast_to(np.arange(R)[:, None], (R, K))
+    order = np.lexsort((
+        (-ps).ravel(), pham.ravel(), (-psc.astype(np.float64)).ravel(),
+        (~valid).ravel(), rid.ravel()))
+    order = order.reshape(R, K) - (np.arange(R) * K)[:, None]
+    take = lambda a: np.take_along_axis(a, order, axis=1)
+    ps, pe, psc, pham, prhs, prhe, valid = map(
+        take, (ps, pe, psc, pham, prhs, prhe, valid))
+
+    kept_s = np.zeros((R, K), dtype=np.int64)
+    kept_e = np.zeros((R, K), dtype=np.int64)
+    kept_n = np.zeros(R, dtype=np.int64)
+    total = np.zeros(R, dtype=np.float32)
+
+    for k in range(K):
+        cs_k = ps[:, k].copy()
+        ce_k = pe[:, k].copy()
+        sc_k = psc[:, k].copy()
+        rhs_k = prhs[:, k]
+        rhe_k = prhe[:, k]
+        alive = valid[:, k]
+        for j in range(k):
+            cj_ok = alive & (j < kept_n)
+            cs, ce = kept_s[:, j], kept_e[:, j]
+            inter = cj_ok & ~(ce_k < cs) & ~(ce < cs_k)
+            ov = np.minimum(ce_k, ce) - np.maximum(cs_k, cs) + 1
+            full = inter & (ov == ce_k - cs_k + 1)
+            trim = inter & ~full & (ov < 24)
+            alive = alive & ~(full | (inter & ~full & (ov >= 24)))
+            if not trim.any():
+                continue
+            left_side = cs_k < cs
+            tl = trim & left_side
+            tr = trim & ~left_side
+            rng = ov // 3
+            tail = (ov % 3).astype(np.float32)
+            new_sc = np.where(
+                tl, (sc_k - _part_score_vec(rhe_k, rng, left=False)) - tail,
+                np.where(tr, (sc_k - _part_score_vec(rhs_k, rng, left=True)) - tail,
+                         sc_k)).astype(np.float32)
+            sc_k = new_sc
+            ce_k = np.where(tl, cs - 1, ce_k)
+            cs_k = np.where(tr, ce + 1, cs_k)
+        acc = alive
+        if acc.any():
+            slot = kept_n
+            ridx = np.nonzero(acc)[0]
+            kept_s[ridx, slot[ridx]] = cs_k[ridx]
+            kept_e[ridx, slot[ridx]] = ce_k[ridx]
+            kept_n = kept_n + acc
+            total = np.where(acc, total + sc_k, total)
+    return total
+
+
 class VectorTaxonomer(Taxonomer):
     """Drop-in Taxonomer that classifies a whole batch in array passes."""
 
@@ -295,7 +398,142 @@ class VectorTaxonomer(Taxonomer):
         within a read; reference emission order within a species run).
         Returns deferred = [(rid, qlen, score, best_species)] for reads
         that need the redundancy-filter + lower-rank stage.
+
+        Dispatches to the vectorized pass unless EM output is requested
+        (the EM path also stores per-read top-10 (species, score^2)
+        lists, which stay a small loop).
         """
+        if not self.em:
+            return self._score_paths_vec(paths, query_lengths, results)
+        return self._score_paths_loop(paths, query_lengths, results)
+
+    def _score_paths_vec(self, paths, query_lengths, results: List[ReadResult]):
+        """Vectorized score_paths: segment reductions over species runs.
+
+        Bit-exactness notes (numpy 2 / NEP 50 — python-float scalars are
+        weak, so array expressions promote exactly like the scalar loop):
+        * single-path species score = f32(score) / f32(qlen);
+        * the running `sc > best` max with first-winner tie-break becomes
+          segment max + first-index-equal;
+        * the tie threshold is f32(float(best) * tie_ratio) per read;
+        * `total` accumulates tied scores in run order with f32 adds,
+          reproduced by rank-k rounds of vectorized f32 additions.
+        """
+        from .taxonomer import MatchPath
+
+        n_reads = len(results)
+        pq = paths["qid"]
+        ps = paths["species"]
+        n = len(pq)
+        deferred = []
+        if n == 0:
+            return deferred
+
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (pq[1:] != pq[:-1]) | (ps[1:] != ps[:-1])
+        run_a = np.nonzero(new_run)[0]
+        run_b = np.append(run_a[1:], n)
+        run_qid = pq[run_a].astype(np.int64)
+        run_sp = ps[run_a].astype(np.int64)
+        n_runs = len(run_a)
+
+        qlen_f32 = query_lengths.astype(np.float32)
+        sc = np.empty(n_runs, dtype=np.float32)
+        single = (run_b - run_a) == 1
+        si = run_a[single]
+        sc[single] = paths["score"][si].astype(np.float32) / qlen_f32[run_qid[single]]
+        multi = np.nonzero(~single)[0]
+        if len(multi):
+            cnts = run_b[multi] - run_a[multi]
+            if int(cnts.max()) <= 32:
+                total = _combine_paths_batch(paths, run_a[multi], cnts)
+                sc[multi] = total / qlen_f32[run_qid[multi]]
+            else:  # pathological run length: scalar fallback
+                p_depth = paths.get("depth")
+                for r in multi:
+                    a, b = int(run_a[r]), int(run_b[r])
+                    plist = [
+                        MatchPath(
+                            start=int(paths["start"][j]),
+                            end=int(paths["end"][j]),
+                            score=paths["score"][j],
+                            hamming=int(paths["hamming"][j]),
+                            depth=int(p_depth[j]) if p_depth is not None else 0,
+                            rh_start=int(paths["rh_start"][j]),
+                            rh_end=int(paths["rh_end"][j]),
+                        )
+                        for j in range(a, b)
+                    ]
+                    sc[r] = self._combine_paths(plist, int(query_lengths[run_qid[r]]))
+        sc = np.minimum(sc, _f32(1.0))
+
+        keep = ~(sc < self.min_score)
+        ki = np.nonzero(keep)[0]          # kept run indices, (read, run) order
+        if len(ki) == 0:
+            return deferred
+        kq = run_qid[ki]                  # 1-based read per kept run
+        ksc = sc[ki]
+        # segment starts of each read's kept runs
+        seg = np.searchsorted(kq, np.arange(1, n_reads + 2))
+        cnt = np.diff(seg)
+        meaningful = np.bincount(kq[ksc > 0], minlength=n_reads + 1)[1:]
+        live = (cnt > 0) & (meaningful > 0)
+        if not live.any():
+            return deferred
+
+        best1 = np.full(n_reads + 1, -np.inf, dtype=np.float32)
+        np.maximum.at(best1, kq, ksc)
+        best = best1[1:]
+
+        thr = (best.astype(np.float64) * self.tie_ratio).astype(np.float32)
+        tiem = ksc >= thr[kq - 1]
+        tp = np.nonzero(tiem)[0]
+        tq = kq[tp]
+        tie_cnt = np.bincount(tq, minlength=n_reads + 1)[1:]
+        tseg = np.searchsorted(tq, np.arange(1, n_reads + 1))
+        within = np.arange(len(tp)) - tseg[tq - 1]
+        total = np.zeros(n_reads + 1, dtype=np.float32)
+        for k in range(int(within.max()) + 1 if len(tp) else 0):
+            selk = within == k
+            total[tq[selk]] = total[tq[selk]] + ksc[tp[selk]]
+
+        # LCA of tied species where >1 tie (vector set-LCA per read)
+        lca = np.zeros(n_reads + 1, dtype=np.int64)
+        multi = tie_cnt > 1
+        if multi.any():
+            lca_all = self.taxonomy.lca_reduce(run_sp[ki[tp]], tq,
+                                               n_reads + 1)
+            lca = np.asarray(lca_all)
+
+        top_sp = run_sp[ki[np.minimum(seg[:-1], len(ki) - 1)]]
+        first_tied = run_sp[ki[tp[np.minimum(tseg, max(len(tp) - 1, 0))]]] \
+            if len(tp) else np.zeros(n_reads, dtype=np.int64)
+
+        tot = total[1:]
+        for r in np.nonzero(live)[0]:
+            rid = r + 1
+            res = results[r]
+            res.species_scores = []
+            res.top_species = int(top_sp[r])
+            score = tot[r]
+            if tie_cnt[r] > 1:
+                sc_avg = score / _f32(int(tie_cnt[r]))
+                res.score = float(sc_avg)
+                if sc_avg == 0 or sc_avg < self.min_score:
+                    continue
+                res.is_classified = True
+                res.classification = int(lca[rid])
+                continue
+            if score == 0 or score < self.min_score:
+                res.score = float(score)
+                continue
+            deferred.append((rid, int(query_lengths[rid]), score,
+                             int(first_tied[r])))
+        return deferred
+
+    def _score_paths_loop(self, paths, query_lengths, results: List[ReadResult]):
+        """Scalar per-read loop (EM mode: also stores top-10 species)."""
         n_reads = len(results)
         # paths arrive ordered by match index = (qid, species, frame, pos)
         # order, so both read spans and species runs are contiguous

@@ -85,8 +85,8 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
 @functools.partial(jax.jit, static_argnames=(
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
     "paired", "bucket_shift", "bucket_steps", "path_width"))
-def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
-                  db_species, euk_species, min_cons: int = 4,
+def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_euler_first,
+                  db_species_euk, min_cons: int = 4,
                   min_cons_euk: int = 9,
                   cap: int = 16, kmer_format: int = 2,
                   syncmer: bool = False, smer_len: int = 5,
@@ -101,11 +101,15 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
     than matches) plus resident match tensors for the later best-species
     redundancy fetch.
 
-    euk_species: bool [n_taxonomy_nodes] — species under Eukaryota get
-    minConsCntEuk (reference Taxonomer.cpp:497-500).
+    db_species_euk: int32 [M] species id with bit 30 = "under Eukaryota"
+    (species there get minConsCntEuk, reference Taxonomer.cpp:497-500) —
+    prefolded at load so the euk test costs no extra [cap, N] gather.
+    db_euler_first: int32 [M] euler_first[taxid] per DB entry — the
+    LCA-ready coordinate the redundancy kernel needs, prefolded for the
+    same reason.
 
     Returns (paths_packed [7, P], stats int32 [overflow, path_count],
-    resident) where resident = (sel, species, ham, taxid, q_pos, q_sids)
+    resident) where resident = (sel, species, ham, ef, q_pos, q_sids)
     stays on device for the later redundancy kernel.
     """
     from ..ops import compact_jax, dp_jax
@@ -134,11 +138,13 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
     qs = jnp.concatenate([p[3] for p in parts])
     qv = jnp.concatenate([p[4] for p in parts])
 
-    out = match_jax.match_kmers_cm(qk, qf, qv, db_values, db_taxids,
-                                   db_species, cap=cap, kmer_format=kmer_format,
+    out = match_jax.match_kmers_cm(qk, qf, qv, db_values, db_euler_first,
+                                   db_species_euk, cap=cap,
+                                   kmer_format=kmer_format,
                                    bucket_lo=bucket_lo, db_aa_lo=db_aa_lo,
                                    bucket_shift=bucket_shift,
                                    bucket_steps=bucket_steps)
+    sp_clean = out["species"] & jnp.int32(0x3FFFFFFF)
 
     max_shift = (8 - smer_len) if syncmer else 1
     packed_parts = []
@@ -149,6 +155,9 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
         sl = slice(offset, offset + n)
         offset += n
         resh = lambda a: a[:, sl].reshape(cap, B * F, W)
+        # the euk flag rides in species bit 30 straight through the
+        # candidate sort and the DP's species-equality compares (the bit
+        # is constant per species); path_dp strips it at emission
         fields = {
             "sel": resh(out["sel"]),
             "species": resh(out["species"]),
@@ -160,7 +169,7 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
         }
         fields = dp_jax.sort_candidates(fields, fields["sel"], fields["ham"],
                                         fields["dna"])
-        md = jnp.where(euk_species[jnp.clip(fields["species"], 0, euk_species.shape[0] - 1)],
+        md = jnp.where((fields["species"] >> 30) & 1 != 0,
                        jnp.int32(min_cons_euk), jnp.int32(min_cons))
         dp = dp_jax.path_dp(fields["sel"], fields["species"], fields["dna"],
                             fields["rh"], fields["ham"], fields["pos"], md,
@@ -174,7 +183,7 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_taxids,
     paths_packed, paths_count = dp_jax.compact_columns(cols, psel,
                                                        out_width=path_width)
 
-    resident = (out["sel"], out["species"], out["hamming"], out["taxid"], qp, qs)
+    resident = (out["sel"], sp_clean, out["hamming"], out["taxid"], qp, qs)
     # stats ride home as ONE tiny array (async-copyable): separate scalar
     # int() fetches each pay a full tunnel round-trip
     stats = jnp.stack([out["overflow"], paths_count])
@@ -201,8 +210,8 @@ def _lca_pair_lift(a, b, depth, lift):
 
 
 @functools.partial(jax.jit, static_argnames=("dna_shift", "n_quot"))
-def redundancy_counts(sel, species, ham, taxid, q_pos, q_sids,
-                      best_sp_per_read, euler_first, euler, depth, lift,
+def redundancy_counts(sel, species, ham, ef, q_pos, q_sids,
+                      best_sp_per_read, euler, depth, lift,
                       dna_shift: int, n_quot: int):
     """Phase 2 on device: best-species redundancy filter + grouped LCA.
 
@@ -241,9 +250,10 @@ def redundancy_counts(sel, species, ham, taxid, q_pos, q_sids,
     gmin = minh[jnp.clip(gidx, 0, n_groups - 1)]          # [N]
     ismin = sel2 & (hamv == gmin[None, :])
 
-    f = euler_first[jnp.clip(taxid, 0, euler_first.shape[0] - 1)]
-    slot_fmin = jnp.min(jnp.where(ismin, f, BIG), axis=0)
-    slot_fmax = jnp.max(jnp.where(ismin, f, I32(-1)), axis=0)
+    # ef = euler_first[taxid] prefolded per DB entry at load (no [cap, N]
+    # taxonomy-table gather here)
+    slot_fmin = jnp.min(jnp.where(ismin, ef, BIG), axis=0)
+    slot_fmax = jnp.max(jnp.where(ismin, ef, I32(-1)), axis=0)
     fmin = jnp.full(n_groups, BIG, I32).at[gidx].min(slot_fmin, mode="drop")
     fmax = jnp.full(n_groups, I32(-1), I32).at[gidx].max(slot_fmax, mode="drop")
 

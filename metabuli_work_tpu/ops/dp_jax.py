@@ -214,7 +214,8 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
             r_pos, r_md = upd[S - 1]
         emitted = {
             "emit": (r_sp >= 0) & (~r_conn) & (r_depth >= r_md),
-            "species": r_sp,
+            # strip the euk flag (species bit 30, see flagship) at emission
+            "species": r_sp & I32(0x3FFFFFFF),
             "start": r_start,
             "end": r_pos + 23,
             "score": r_score,

@@ -62,11 +62,11 @@ def test_device_redundancy_equals_host(seed):
         ham[sel2].astype(np.int64), taxid[sel2].astype(np.int64))
 
     depth, lift = tax.lca_lift_tables()
+    ef = tax.euler_first.astype(np.int32)[taxid]
     packed, stats = redundancy_counts(
         jnp.asarray(sel.T), jnp.asarray(species.T), jnp.asarray(ham.T),
-        jnp.asarray(taxid.T), jnp.asarray(q_pos), jnp.asarray(q_sids),
+        jnp.asarray(ef.T), jnp.asarray(q_pos), jnp.asarray(q_sids),
         jnp.asarray(best_sp),
-        jnp.asarray(tax.euler_first.astype(np.int32)),
         jnp.asarray(tax.euler.astype(np.int32)),
         jnp.asarray(depth), jnp.asarray(lift),
         dna_shift=dna_shift, n_quot=n_quot)
