@@ -154,6 +154,10 @@ class Classifier:
         self.lca_depth = jnp.asarray(depth)
         self.lca_lift = jnp.asarray(lift)
         ef = self.taxonomy.euler_first.astype(np.int64)
+        # the redundancy kernel packs (hamming, euler_first) into one i32
+        # key: 6 bits hamming above a 25-bit euler coordinate
+        assert len(self.taxonomy.euler) < (1 << 25), \
+            "taxonomy too large for packed-key redundancy kernel"
         self.db_euler_first = jnp.asarray(
             ef[self.index.taxids.astype(np.int64)].astype(np.int32))
         self.euler = jnp.asarray(self.taxonomy.euler.astype(np.int32))

@@ -118,10 +118,40 @@ def _combine_paths_batch(paths, starts, cnts):
     ps, pe, psc, pham, prhs, prhe, valid = map(
         take, (ps, pe, psc, pham, prhs, prhe, valid))
 
+    # fast path: runs whose paths are pairwise disjoint never trim or
+    # drop — the greedy total is just the f32 sum in sorted order.  Check
+    # by a per-run interval sweep (sort by start, running-max end vs next
+    # start); the K-round masked adds below reproduce the scalar
+    # accumulation order exactly.
+    s_ord = np.argsort(np.where(valid, ps, np.iinfo(np.int64).max),
+                       axis=1, kind="stable")
+    ss = np.take_along_axis(ps, s_ord, axis=1)
+    se = np.take_along_axis(np.where(valid, pe, np.int64(-1) << 60),
+                            s_ord, axis=1)
+    run_max_e = np.maximum.accumulate(se, axis=1)
+    disjoint = ~(run_max_e[:, :-1] >= ss[:, 1:]).any(axis=1) if K > 1 \
+        else np.ones(R, dtype=bool)
+
+    total = np.zeros(R, dtype=np.float32)
+    free = np.nonzero(disjoint)[0]
+    if len(free):
+        tot_f = np.zeros(len(free), dtype=np.float32)
+        v_f = valid[free]
+        sc_f = psc[free]
+        for k in range(K):
+            tot_f = np.where(v_f[:, k], tot_f + sc_f[:, k], tot_f)
+        total[free] = tot_f
+    hard = np.nonzero(~disjoint)[0]
+    if len(hard) == 0:
+        return total
+    ps, pe, psc, pham, prhs, prhe, valid = (
+        a[hard] for a in (ps, pe, psc, pham, prhs, prhe, valid))
+    R = len(hard)
+
     kept_s = np.zeros((R, K), dtype=np.int64)
     kept_e = np.zeros((R, K), dtype=np.int64)
     kept_n = np.zeros(R, dtype=np.int64)
-    total = np.zeros(R, dtype=np.float32)
+    total_h = np.zeros(R, dtype=np.float32)
 
     for k in range(K):
         cs_k = ps[:, k].copy()
@@ -138,20 +168,20 @@ def _combine_paths_batch(paths, starts, cnts):
             full = inter & (ov == ce_k - cs_k + 1)
             trim = inter & ~full & (ov < 24)
             alive = alive & ~(full | (inter & ~full & (ov >= 24)))
-            if not trim.any():
+            ti = np.nonzero(trim)[0]
+            if len(ti) == 0:
                 continue
-            left_side = cs_k < cs
-            tl = trim & left_side
-            tr = trim & ~left_side
-            rng = ov // 3
-            tail = (ov % 3).astype(np.float32)
-            new_sc = np.where(
-                tl, (sc_k - _part_score_vec(rhe_k, rng, left=False)) - tail,
-                np.where(tr, (sc_k - _part_score_vec(rhs_k, rng, left=True)) - tail,
-                         sc_k)).astype(np.float32)
-            sc_k = new_sc
-            ce_k = np.where(tl, cs - 1, ce_k)
-            cs_k = np.where(tr, ce + 1, cs_k)
+            # trims are rare: run the masked-round part scores on the
+            # trimmed rows only, not the whole lane set
+            left_side = cs_k[ti] < cs[ti]
+            rng = ov[ti] // 3
+            tail = (ov[ti] % 3).astype(np.float32)
+            part = np.where(left_side,
+                            _part_score_vec(rhe_k[ti], rng, left=False),
+                            _part_score_vec(rhs_k[ti], rng, left=True))
+            sc_k[ti] = ((sc_k[ti] - part) - tail).astype(np.float32)
+            ce_k[ti] = np.where(left_side, cs[ti] - 1, ce_k[ti])
+            cs_k[ti] = np.where(left_side, cs_k[ti], ce[ti] + 1)
         acc = alive
         if acc.any():
             slot = kept_n
@@ -159,7 +189,8 @@ def _combine_paths_batch(paths, starts, cnts):
             kept_s[ridx, slot[ridx]] = cs_k[ridx]
             kept_e[ridx, slot[ridx]] = ce_k[ridx]
             kept_n = kept_n + acc
-            total = np.where(acc, total + sc_k, total)
+            total_h = np.where(acc, total_h + sc_k, total_h)
+    total[hard] = total_h
     return total
 
 

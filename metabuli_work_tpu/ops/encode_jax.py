@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .genetic_code import CODON2AA, CODON2NUM, COMP_CODE, KMER_LEN, NUC_CODE
+from .genetic_code import AANUM, KMER_LEN
 
 _U64 = jnp.uint64
 # Tables stay as NUMPY arrays at module level: converting them inside the
@@ -71,12 +71,34 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
     W = max_windows(Lmax, k)
     aa_max = W + k - 1  # codons needed per frame
 
-    nuc_code = jnp.asarray(NUC_CODE)
-    comp_code = jnp.asarray(COMP_CODE)
-    codon2aa = jnp.asarray(CODON2AA)
-    codon2num = jnp.asarray(CODON2NUM)
-    codes = nuc_code[reads]                       # [B, Lmax] 3-bit codes
-    rc = comp_code[codes[:, ::-1]]                # [B, Lmax] reverse-complement
+    # Gathers cost ~10 ns/element on TPU, so the encode avoids them:
+    # nucleotide coding is arithmetic ((ascii|0x20) & 14) >> 1 with an
+    # explicit ACGT whitelist; codon->(aa, num) is ONE uint8 gather from
+    # the fused AANUM table over each prefolded packed-codon array;
+    # forward frames then read codons via static strided slices (their
+    # frame offset is a compile-time constant) — only the three reverse
+    # frames need a per-read take_along_axis (start depends on length).
+    aanum = jnp.asarray(AANUM)
+    v = reads | jnp.uint8(0x20)
+    raw = (v & jnp.uint8(14)) >> jnp.uint8(1)
+    okb = (v == 97) | (v == 99) | (v == 103) | (v == 116)  # acgt
+    codes = jnp.where(okb, raw, jnp.uint8(7))
+    compc = jnp.where(okb, raw ^ jnp.uint8(2), jnp.uint8(7))  # A<->T, C<->G
+
+    i32 = lambda a: a.astype(jnp.int32)
+    # packed codon index at every forward start position i (bases i..i+2)
+    pk = (i32(codes[:, :-2]) << 6) | (i32(codes[:, 1:-1]) << 3) | i32(codes[:, 2:])
+    # reverse-complement codon whose rc-array position is q = Lmax-3-j for
+    # forward index j: (comp c[j+2], comp c[j+1], comp c[j]) read leftward
+    pk_r = (i32(compc[:, 2:]) << 6) | (i32(compc[:, 1:-1]) << 3) | i32(compc[:, :-2])
+    an_f = aanum[pk]                              # [B, Lmax-2]
+    an_rc = aanum[pk_r][:, ::-1]                  # [B, Lmax-2], rc-index order
+
+    pad = 3 * aa_max + 2 - (Lmax - 2)             # strided slices need aa_max cols
+    if pad > 0:
+        an_f = jnp.pad(an_f, ((0, 0), (0, pad)), constant_values=255)
+        an_rc = jnp.pad(an_rc, ((0, 0), (0, pad)), constant_values=255)
+    n_cols = an_f.shape[1]
 
     used = _used_len(lengths)                     # [B]
     aa_len = used // 3                            # [B]
@@ -88,22 +110,17 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
         fwd = frame < 3
         if fwd:
             begin = jnp.full_like(lengths, frame % 3)
-            base = codes
-            start = begin                          # codon 0 offset in `base`
+            an = an_f[:, frame::3][:, :aa_max]     # static slice, no gather
         else:
             begin = (lengths % 3 - frame % 3) % 3
             seq_end = begin + used - 1
             # rc array index of forward-equivalent codon 0:
             start = Lmax - 1 - seq_end
-            base = rc
-        p = start[:, None] + 3 * j[None, :]        # [B, aa_max]
-        p = jnp.clip(p, 0, Lmax - 3)               # clamp; invalid tails masked later
-        c0 = jnp.take_along_axis(base, p, axis=1)
-        c1 = jnp.take_along_axis(base, p + 1, axis=1)
-        c2 = jnp.take_along_axis(base, p + 2, axis=1)
-        cidx = (c0.astype(jnp.int32) << 6) | (c1.astype(jnp.int32) << 3) | c2.astype(jnp.int32)
-        aa = codon2aa[cidx]                        # [B, aa_max] uint8
-        num = codon2num[cidx]
+            p = start[:, None] + 3 * j[None, :]    # [B, aa_max]
+            p = jnp.clip(p, 0, n_cols - 1)         # clamp; tails masked later
+            an = jnp.take_along_axis(an_rc, p, axis=1)
+        aa = an >> jnp.uint8(3)                    # [B, aa_max] uint8
+        num = an & jnp.uint8(7)
         cvalid = (aa <= 20) & (j[None, :] < aa_len[:, None])
         return aa, num, cvalid, begin
 

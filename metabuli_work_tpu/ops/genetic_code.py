@@ -120,6 +120,10 @@ def _build_codon_tables():
 NUC_CODE = _build_nuc_code_table()           # (256,) uint8
 COMP_CODE = _build_complement_code_table()   # (8,)   uint8
 CODON2AA, CODON2NUM = _build_codon_tables()  # (512,) uint8 each
+# fused (aa << 3) | num table: one 8-bit gather per codon on device
+# instead of two (TPU gathers cost ~10 ns/element; table lookups are the
+# dominant cost of the encode step)
+AANUM = ((CODON2AA.astype(np.uint16) << 3) | CODON2NUM).astype(np.uint8)
 
 
 def _build_hamming_table() -> np.ndarray:
