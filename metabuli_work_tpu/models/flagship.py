@@ -84,7 +84,7 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
 
 @functools.partial(jax.jit, static_argnames=(
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
-    "paired", "bucket_shift", "bucket_steps", "path_width"))
+    "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac"))
 def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_euler_first,
                   db_species_euk, min_cons: int = 4,
                   min_cons_euk: int = 9,
@@ -93,7 +93,7 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_euler_first,
                   paired: bool = False,
                   bucket_lo=None, db_aa_lo=None,
                   bucket_shift: int = 0, bucket_steps: int = 0,
-                  path_width: int = 0):
+                  path_width: int = 0, win_frac: int = 0):
     """Full device pipeline WITH on-device path DP.
 
     extract (+mate2) -> probe -> per-window candidate sort -> path DP ->
@@ -114,15 +114,34 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_euler_first,
     """
     from ..ops import compact_jax, dp_jax
 
-    k1, p1, v1 = encode_jax.extract_batch(reads1, lens1, syncmer=syncmer,
-                                          smer_len=smer_len, kmer_format=kmer_format)
+    # syncmer window compaction: only ~half the windows pass the anchor
+    # rule, and probe gathers dominate the step — shrink the W axis to
+    # win_frac/256 of its static size before probing (dyn_gap path DP
+    # chains compacted slots by real position gaps).  win_frac == 0 or
+    # >= 256 disables compaction.
+    dyn_gap = bool(syncmer and kmer_format == 2
+                   and 0 < win_frac < 256)
+    win_over = jnp.int32(0)
+
+    def extract_part(reads, lens):
+        nonlocal win_over
+        kk, pp, vv = encode_jax.extract_batch(reads, lens, syncmer=syncmer,
+                                              smer_len=smer_len,
+                                              kmer_format=kmer_format)
+        if dyn_gap:
+            W = kk.shape[2]
+            w_c = max(min((W * win_frac + 255) // 256, W), 1)
+            kk, pp, vv, over = encode_jax.compact_windows(kk, pp, vv, w_c)
+            win_over = win_over + over
+        return kk, pp, vv
+
+    k1, p1, v1 = extract_part(reads1, lens1)
     b = reads1.shape[0]
     sids = jnp.arange(1, b + 1, dtype=jnp.int32)
     parts = [encode_jax.flatten_batch(k1, p1, v1, sids)]
     shapes = [k1.shape]  # (B, 6, W)
     if paired:
-        k2, p2, v2 = encode_jax.extract_batch(reads2, lens2, syncmer=syncmer,
-                                              smer_len=smer_len, kmer_format=kmer_format)
+        k2, p2, v2 = extract_part(reads2, lens2)
         p2 = p2 + (lens1 + 3)[:, None, None]
         parts.append(encode_jax.flatten_batch(k2, p2, v2, sids))
         shapes.append(k2.shape)
@@ -173,7 +192,8 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_euler_first,
                        jnp.int32(min_cons_euk), jnp.int32(min_cons))
         dp = dp_jax.path_dp(fields["sel"], fields["species"], fields["dna"],
                             fields["rh"], fields["ham"], fields["pos"], md,
-                            max_shift=max_shift, kmer_format=kmer_format)
+                            max_shift=max_shift, kmer_format=kmer_format,
+                            dyn_gap=dyn_gap)
         cols, psel = dp_jax.pack_paths(dp)
         packed_parts.append(cols)
         sel_parts.append(psel)
@@ -186,7 +206,7 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_euler_first,
     resident = (out["sel"], sp_clean, out["hamming"], out["taxid"], qp, qs)
     # stats ride home as ONE tiny array (async-copyable): separate scalar
     # int() fetches each pay a full tunnel round-trip
-    stats = jnp.stack([out["overflow"], paths_count])
+    stats = jnp.stack([out["overflow"], paths_count, win_over])
     return paths_packed, stats, resident
 
 

@@ -93,7 +93,7 @@ def sort_candidates(fields, sel, ham, dna):
 
 
 def path_dp(sel, species, dna, rh, ham, pos, min_depth,
-            max_shift: int, kmer_format: int):
+            max_shift: int, kmer_format: int, dyn_gap: bool = False):
     # NOTE deliberately not @jax.jit: this always runs inlined inside the
     # fused device step (models/flagship.fused_step_dp); a dual
     # jitted-inside-jit + standalone usage corrupts the executable cache
@@ -114,6 +114,14 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
     Gather-free on purpose — an earlier ring-buffer formulation using
     take_along_axis over a [G, S, cap, cap] tensor plus scatter-updates
     lowered to pathological (and on TPU incorrect) code.
+
+    dyn_gap=True: the W axis holds COMPACTED windows (syncmer anchors
+    only, encode_jax.compact_windows), so the codon shift between a
+    window and lookback state s is no longer the static s+1 — it is
+    recomputed per step from the stored positions ((pos - p_pos) / 3,
+    connectable iff 1 <= gap <= max_shift).  Since every compacted step
+    advances the position by >= 3 nt, a state older than S steps has
+    gap > max_shift and the S-deep retirement stays exact.
 
     Returns dict of [W+max_shift, cap, G] arrays: emit flag + path fields
     (start/end query coords, score, hamming, depth, start-match rh;
@@ -170,17 +178,32 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
             use_s = has_sp & ~found & sel_w
             found = found | has_sp
 
-            sh = s + 1                                      # static codon shift
-            mask24 = (1 << (24 - 3 * sh)) - 1
             cd = p_dna[:, None]                             # [capS,1,G]
+            if dyn_gap:
+                # codon shift from stored positions (compacted windows);
+                # every state row holds the same window pos, so row 0 is
+                # representative
+                p_pos0 = st[9][0]                           # [G]
+                gapv = (pos_w - p_pos0[None, :]) // 3       # [cap,G]
+                ok_gap = (gapv >= 1) & (gapv <= S)
+                shv = jnp.clip(gapv, 1, S)
+                sh3 = (3 * shv)[None]                       # [1,cap,G]
+                mask24 = (I32(1) << (24 - sh3)) - 1
+            else:
+                shv = I32(s + 1)                            # static codon shift
+                ok_gap = None
+                sh3 = 3 * (s + 1)
+                mask24 = (1 << (24 - sh3)) - 1
             if kmer_format == 2:
                 # isConsecutive2(cur=pred, next=current) fwd / swapped rev
-                ok_f = (cd & mask24) == (nd >> (3 * sh))
-                ok_r = (nd & mask24) == (cd >> (3 * sh))
+                ok_f = (cd & mask24) == (nd >> sh3)
+                ok_r = (nd & mask24) == (cd >> sh3)
             else:
-                ok_f = (cd >> (3 * sh)) == (nd & mask24)
-                ok_r = (nd >> (3 * sh)) == (cd & mask24)
+                ok_f = (cd >> sh3) == (nd & mask24)
+                ok_r = (nd >> sh3) == (cd & mask24)
             ok = jnp.where(fwd_g, ok_f, ok_r) & same_sp & use_s[None]
+            if ok_gap is not None:
+                ok = ok & ok_gap[None]
 
             aok = ok.any(axis=0)                            # [cap,G]
             cand = jnp.where(ok, p_score[:, None], F32(-1.0))
@@ -191,7 +214,7 @@ def path_dp(sel, species, dna, rh, ham, pos, min_depth,
             pick = lambda a: jnp.sum(jnp.where(oh, a[:, None], I32(0)),
                                      axis=0, dtype=I32)
             any_ok = any_ok | aok
-            shift_sel = jnp.where(aok, I32(sh), shift_sel)
+            shift_sel = jnp.where(aok, shv, shift_sel)
             b_score = jnp.where(aok, best, b_score)
             b_depth = jnp.where(aok, pick(p_depth), b_depth)
             b_ham = jnp.where(aok, pick(p_ham), b_ham)

@@ -224,6 +224,37 @@ def _syncmer_mask_batch(aa_m, cvalid, W, k, s):
     return (arg == 0) | (arg == k - s)
 
 
+def compact_windows(kmers, pos, valid, w_c: int):
+    """Compact valid windows to the front of the W axis: [B,F,W] -> [B,F,w_c].
+
+    Syncmer selection keeps ~half the windows (anchor rule), but static
+    shapes would still probe every slot — and probe gathers at ~10 ns per
+    element dominate the device step.  Compaction is a one-hot masked sum
+    over the W axis (pure VPU; rank = prefix count of valid), NO gathers
+    or scatters.  Order is preserved, so the path DP can chain compacted
+    slots using real position gaps (dp_jax.path_dp dyn_gap mode).
+
+    Returns (kmers_c, pos_c, valid_c, overflow) where overflow counts
+    valid windows dropped because a row had more than w_c — the caller
+    re-runs with a wider w_c (same protocol as the candidate-cap retry).
+    """
+    B, F, W = valid.shape
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
+    cnt = rank[..., -1] + 1
+    overflow = jnp.sum(jnp.maximum(cnt - w_c, 0)).astype(jnp.int32)
+    slots = jnp.arange(w_c, dtype=jnp.int32)
+    oh = valid[..., None, :] & (rank[..., None, :] == slots[:, None])  # [B,F,w_c,W]
+
+    def take(a):
+        return jnp.sum(jnp.where(oh, a[..., None, :], jnp.zeros((), a.dtype)),
+                       axis=-1, dtype=a.dtype)
+
+    kc = take(kmers)
+    pc = take(pos)
+    vc = slots[None, None, :] < cnt[..., None]
+    return kc, pc, vc, overflow
+
+
 def flatten_batch(kmers, pos, valid, seq_ids):
     """[B,6,W] tensors -> flat per-kmer arrays with frame/read annotation.
 
