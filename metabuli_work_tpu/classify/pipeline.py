@@ -47,12 +47,16 @@ class ClassifyParams:
     long_read_chunk: int = 3072    # long reads processed whole up to bucket cap
 
 
-@dataclass
 class QueryRecord:
-    name: str
-    length1: int
-    length2: int = 0
-    result: Optional[ReadResult] = None
+    """__slots__ on purpose — one per read per batch (see ReadResult)."""
+
+    __slots__ = ("name", "length1", "length2", "result")
+
+    def __init__(self, name, length1, length2=0, result=None):
+        self.name = name
+        self.length1 = length1
+        self.length2 = length2
+        self.result = result
 
     @property
     def total_length(self):
@@ -149,7 +153,6 @@ class Classifier:
         sp = self.index.species.astype(np.int64)
         assert int(sp.max(initial=0)) < (1 << 30)
         sp_euk = (sp | (mask[sp].astype(np.int64) << 30)).astype(np.int32)
-        self.db_species_dp = jnp.asarray(sp_euk)
         # device LCA tables for the on-device redundancy filter; the
         # euler-first position is prefolded per DB entry so the fused
         # step's payload gather directly yields LCA-ready coordinates
@@ -161,8 +164,11 @@ class Classifier:
         # key: 6 bits hamming above a 25-bit euler coordinate
         assert len(self.taxonomy.euler) < (1 << 25), \
             "taxonomy too large for packed-key redundancy kernel"
-        self.db_euler_first = jnp.asarray(
-            ef[self.index.taxids.astype(np.int64)].astype(np.int32))
+        db_ef = ef[self.index.taxids.astype(np.int64)].astype(np.int32)
+        from ..ops.match_jax import pack_db_quad
+
+        self.db_quad = jnp.asarray(pack_db_quad(self.index.values, db_ef,
+                                                sp_euk))
         self.euler = jnp.asarray(self.taxonomy.euler.astype(np.int32))
 
     # ------------------------------------------------------------------ #
@@ -287,8 +293,7 @@ class Classifier:
         with self.timer.stage("dispatch"):
             r1, j1, r2, j2, l1, l2, paired = self._prep_arrays(a1, l1, a2, l2, B)
             paths_packed, stats, resident = fused_step_dp(
-                r1, j1, r2, j2,
-                self.db_values, self.db_euler_first, self.db_species_dp,
+                r1, j1, r2, j2, self.db_quad,
                 min_cons=int(self.params.min_cons_cnt),
                 min_cons_euk=int(self.params.min_cons_cnt_euk),
                 cap=cap, kmer_format=self.kmer_format,
@@ -358,7 +363,9 @@ class Classifier:
                 arr = np.asarray(ctx["prefix"])[:, :n]
             else:
                 arr = np.asarray(ctx["paths"][:, :n])
-            self._path_estimate = _pow2_bucket(int(n * 1.5))
+            # 1.25x headroom: the D2H tunnel runs ~200 MB/s, so prefix
+            # bytes are ~5 ms/MB of device-queue time — keep it tight
+            self._path_estimate = _pow2_bucket(int(n * 1.25), floor=2048)
 
         with self.timer.stage("score"):
             paths = dp_jax.decode_paths(arr)
@@ -423,11 +430,23 @@ class Classifier:
                 self._pairs_estimate = _pow2_bucket(int(n2 * 1.5))
                 self.total_match_cnt += int(st2[1])
                 # per-(read, lca) group counts -> tax_cnt dicts
-                key = (m2[0].astype(np.int64) << 32) | m2[1].astype(np.int64)
-                uniq, cnts = np.unique(key, return_counts=True)
                 tax_cnts: dict = {}
-                for k, c in zip(uniq.tolist(), cnts.tolist()):
-                    tax_cnts.setdefault(k >> 32, {})[k & 0xFFFFFFFF] = int(c)
+                try:
+                    from .native_score import available, count_pairs
+
+                    native = available()
+                except Exception:
+                    native = False
+                if native:
+                    u_rid, u_tax, u_cnt = count_pairs(m2[0], m2[1])
+                    for r, t, c in zip(u_rid.tolist(), u_tax.tolist(),
+                                       u_cnt.tolist()):
+                        tax_cnts.setdefault(r, {})[t] = c
+                else:
+                    key = (m2[0].astype(np.int64) << 32) | m2[1].astype(np.int64)
+                    uniq, cnts = np.unique(key, return_counts=True)
+                    for k, c in zip(uniq.tolist(), cnts.tolist()):
+                        tax_cnts.setdefault(k >> 32, {})[k & 0xFFFFFFFF] = int(c)
                 self.taxonomer.finish_with_taxcnt(ctx["deferred"], tax_cnts,
                                                   ctx["qlens"], results)
 

@@ -122,15 +122,29 @@ class MatchPath:
                     # Taxonomer.cpp:475-485)
 
 
-@dataclass
+_EMPTY_TAX_CNT: Dict[int, int] = {}
+
+
 class ReadResult:
-    is_classified: bool = False
-    classification: int = 0      # internal taxid
-    score: float = 0.0
-    hamming: int = 0
-    tax_cnt: Dict[int, int] = field(default_factory=dict)
-    top_species: int = 0
-    species_scores: List[Tuple[int, float]] = field(default_factory=list)
+    """Per-read assignment result.
+
+    Hand-rolled __slots__ class, not a dataclass: one is created per read
+    per batch and dataclass __init__ costs ~7 us each (~15 ms/batch of
+    pure object construction).  tax_cnt/species_scores share immutable
+    empty defaults; assign fresh containers, never mutate in place.
+    """
+
+    __slots__ = ("is_classified", "classification", "score", "hamming",
+                 "tax_cnt", "top_species", "species_scores")
+
+    def __init__(self):
+        self.is_classified = False
+        self.classification = 0      # internal taxid
+        self.score = 0.0
+        self.hamming = 0
+        self.tax_cnt = _EMPTY_TAX_CNT
+        self.top_species = 0
+        self.species_scores = ()
 
 
 class Taxonomer:
@@ -175,7 +189,8 @@ class Taxonomer:
         res = ReadResult()
         sp_score, best_range, lca_flag, sp2score = self._best_species(matches, query_length)
         # EM mapping keeps the top-10 (species, score^2) (Taxonomer.cpp:383-385)
-        res.species_scores = [(s, sc * sc) for s, sc in sp2score[:10]] if self.em else []
+        res.species_scores = [(s, sc * sc) for s, sc in sp2score[:10]] \
+            if (self.em and sp2score) else ()
         if sp2score:
             res.top_species = sp2score[0][0]
 

@@ -33,6 +33,27 @@ def _f32(x):
     return np.float32(x)
 
 
+_NATIVE_COMBINE = None
+
+
+def _native_combine():
+    """The C++ greedy combine (native/hostscore.cpp) or None.
+
+    The numpy version needs K^2 masked rounds (K = max paths/run) at
+    ~10 us numpy dispatch each; the scalar C++ loop does the identical
+    f32 arithmetic in ~50 ns/path."""
+    global _NATIVE_COMBINE
+    if _NATIVE_COMBINE is None:
+        try:
+            from . import native_score
+
+            _NATIVE_COMBINE = native_score.combine_paths_batch \
+                if native_score.available() else False
+        except Exception:
+            _NATIVE_COMBINE = False
+    return _NATIVE_COMBINE
+
+
 def _match_scores_vec(rh: np.ndarray) -> np.ndarray:
     """Vectorized Match::getScore with reference f32 accumulation order."""
     score = np.zeros(len(rh), dtype=np.float32)
@@ -144,9 +165,14 @@ def _combine_paths_batch(paths, starts, cnts):
     hard = np.nonzero(~disjoint)[0]
     if len(hard) == 0:
         return total
-    ps, pe, psc, pham, prhs, prhe, valid = (
-        a[hard] for a in (ps, pe, psc, pham, prhs, prhe, valid))
-    R = len(hard)
+    total[hard] = _combine_hard(ps[hard], pe[hard], psc[hard],
+                                prhs[hard], prhe[hard], valid[hard])
+    return total
+
+
+def _combine_hard(ps, pe, psc, prhs, prhe, valid):
+    """K^2 greedy rounds for one bucket of overlapping runs."""
+    R, K = ps.shape
 
     kept_s = np.zeros((R, K), dtype=np.int64)
     kept_e = np.zeros((R, K), dtype=np.int64)
@@ -190,8 +216,7 @@ def _combine_paths_batch(paths, starts, cnts):
             kept_e[ridx, slot[ridx]] = ce_k[ridx]
             kept_n = kept_n + acc
             total_h = np.where(acc, total_h + sc_k, total_h)
-    total[hard] = total_h
-    return total
+    return total_h
 
 
 class VectorTaxonomer(Taxonomer):
@@ -477,7 +502,10 @@ class VectorTaxonomer(Taxonomer):
         multi = np.nonzero(~single)[0]
         if len(multi):
             cnts = run_b[multi] - run_a[multi]
-            if int(cnts.max()) <= 32:
+            if _native_combine():
+                total = _native_combine()(paths, run_a[multi], cnts)
+                sc[multi] = total / qlen_f32[run_qid[multi]]
+            elif int(cnts.max()) <= 32:
                 total = _combine_paths_batch(paths, run_a[multi], cnts)
                 sc[multi] = total / qlen_f32[run_qid[multi]]
             else:  # pathological run length: scalar fallback
@@ -545,7 +573,7 @@ class VectorTaxonomer(Taxonomer):
         for r in np.nonzero(live)[0]:
             rid = r + 1
             res = results[r]
-            res.species_scores = []
+            res.species_scores = ()
             res.top_species = int(top_sp[r])
             score = tot[r]
             if tie_cnt[r] > 1:
@@ -637,7 +665,8 @@ class VectorTaxonomer(Taxonomer):
 
             if self.em and sp2score:
                 sp2score.sort(key=lambda x: -x[1])
-            res.species_scores = [(s, sc * sc) for s, sc in sp2score[:10]] if self.em else []
+            res.species_scores = [(s, sc * sc) for s, sc in sp2score[:10]] \
+            if (self.em and sp2score) else ()
             if sp2score:
                 res.top_species = sp2score[0][0]
 

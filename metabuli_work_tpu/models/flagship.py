@@ -85,8 +85,7 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
 @functools.partial(jax.jit, static_argnames=(
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
     "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac"))
-def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_euler_first,
-                  db_species_euk, min_cons: int = 4,
+def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   min_cons_euk: int = 9,
                   cap: int = 16, kmer_format: int = 2,
                   syncmer: bool = False, smer_len: int = 5,
@@ -101,12 +100,12 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_euler_first,
     than matches) plus resident match tensors for the later best-species
     redundancy fetch.
 
-    db_species_euk: int32 [M] species id with bit 30 = "under Eukaryota"
-    (species there get minConsCntEuk, reference Taxonomer.cpp:497-500) —
-    prefolded at load so the euk test costs no extra [cap, N] gather.
-    db_euler_first: int32 [M] euler_first[taxid] per DB entry — the
-    LCA-ready coordinate the redundancy kernel needs, prefolded for the
-    same reason.
+    db_quad: uint32 [M, 4] packed rows (match_jax.pack_db_quad) fusing
+    the metamer value with two prefolded payloads — species id with
+    bit 30 = "under Eukaryota" (species there get minConsCntEuk,
+    reference Taxonomer.cpp:497-500) and euler_first[taxid] (the
+    LCA-ready coordinate the redundancy kernel needs) — so the whole
+    candidate probe is ONE u32-row gather.
 
     Returns (paths_packed [7, P], stats int32 [overflow, path_count],
     resident) where resident = (sel, species, ham, ef, q_pos, q_sids)
@@ -157,12 +156,11 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_values, db_euler_first,
     qs = jnp.concatenate([p[3] for p in parts])
     qv = jnp.concatenate([p[4] for p in parts])
 
-    out = match_jax.match_kmers_cm(qk, qf, qv, db_values, db_euler_first,
-                                   db_species_euk, cap=cap,
-                                   kmer_format=kmer_format,
-                                   bucket_lo=bucket_lo, db_aa_lo=db_aa_lo,
-                                   bucket_shift=bucket_shift,
-                                   bucket_steps=bucket_steps)
+    out = match_jax.match_kmers_quad(qk, qf, qv, db_quad, cap=cap,
+                                     kmer_format=kmer_format,
+                                     bucket_lo=bucket_lo, db_aa_lo=db_aa_lo,
+                                     bucket_shift=bucket_shift,
+                                     bucket_steps=bucket_steps)
     sp_clean = out["species"] & jnp.int32(0x3FFFFFFF)
 
     max_shift = (8 - smer_len) if syncmer else 1
