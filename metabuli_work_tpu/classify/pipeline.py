@@ -128,7 +128,10 @@ class Classifier:
         self._fetch_estimate = 1 << 17  # rows; adapts to observed match counts
         self._path_estimate = 1 << 14   # emitted-path rows
         self._pairs_estimate = 1 << 12  # redundancy (rid, taxid) pair rows
-        self._path_width = 1 << 18      # static path-compaction width
+        # static path-compaction width: compact_columns pays out_width
+        # gathers per column, so start tight; overflow re-runs wider and
+        # sticks (each distinct width is one extra compile)
+        self._path_width = 1 << 16
         # syncmer window-compaction width, in 256ths of W (~62% of windows
         # pass the anchor rule on random sequence; 184/256 = 72% headroom)
         self._win_frac = 184 if self.syncmer else 256
@@ -278,9 +281,19 @@ class Classifier:
             j2 = jnp.asarray(l2)
         else:
             l2 = None
-            r2 = jnp.zeros((B, 96), dtype=jnp.uint8)
-            j2 = jnp.zeros(B, dtype=jnp.int32)
+            r2, j2 = self._dummy_mate2(B)
         return r1, j1, r2, j2, l1, l2, paired
+
+    def _dummy_mate2(self, B):
+        """Cached zero mate-2 arrays (one device allocation per B)."""
+        cached = getattr(self, "_dummy2", None)
+        if cached is None or cached[0].shape[0] != B:
+            import jax.numpy as jnp
+
+            cached = (jnp.zeros((B, 96), dtype=jnp.uint8),
+                      jnp.zeros(B, dtype=jnp.int32))
+            self._dummy2 = cached
+        return cached
 
     def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None,
                            path_width=None, win_frac=None):
@@ -292,7 +305,7 @@ class Classifier:
         win_frac = win_frac or self._win_frac
         with self.timer.stage("dispatch"):
             r1, j1, r2, j2, l1, l2, paired = self._prep_arrays(a1, l1, a2, l2, B)
-            paths_packed, stats, resident = fused_step_dp(
+            packed_hdr, resident = fused_step_dp(
                 r1, j1, r2, j2, self.db_quad,
                 min_cons=int(self.params.min_cons_cnt),
                 min_cons_euk=int(self.params.min_cons_cnt_euk),
@@ -302,19 +315,20 @@ class Classifier:
                 bucket_shift=self.bucket_shift, bucket_steps=self.bucket_steps,
                 path_width=path_width, win_frac=win_frac,
             )
-            est = min(self._path_estimate, paths_packed.shape[1])
-            prefix = paths_packed[:, :est]
-            for arr in (prefix, stats):
-                try:
-                    arr.copy_to_host_async()
-                except AttributeError:
-                    pass
+            # column 0 is the stats header; one async copy carries both
+            # the stats and the estimated path prefix home
+            est = min(self._path_estimate, packed_hdr.shape[1] - 1)
+            prefix = packed_hdr[:, :est + 1]
+            try:
+                prefix.copy_to_host_async()
+            except AttributeError:
+                pass
             lmax = r1.shape[1] + (r2.shape[1] + 3 if paired else 0)
             n_quot = lmax // int(self.taxonomer.dna_shift) + 2
         return {
             "dp": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
-            "a1": a1, "a2": a2, "stats": stats,
-            "paths": paths_packed, "prefix": prefix, "est": est,
+            "a1": a1, "a2": a2,
+            "paths": packed_hdr, "prefix": prefix, "est": est,
             "resident": resident, "n_quot": n_quot,
         }
 
@@ -332,37 +346,42 @@ class Classifier:
         from ..ops import dp_jax
         from .taxonomer import ReadResult as RR
 
-        st = np.asarray(ctx["stats"])
+        with self.timer.stage("hdr_sync"):
+            hdr = np.asarray(ctx["prefix"])      # ONE blocking fetch
+            st = hdr[:3, 0]
         # window-compaction overflow (a row had more syncmer anchors than
         # the compacted width): widen permanently, re-run uncompacted
-        if len(st) > 2 and int(st[2]) > 0:
+        if int(st[2]) > 0:
             self._win_frac = min(self._win_frac + 24, 256)
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
                                           ctx["a2"], ctx["l2"], cap=ctx["cap"],
                                           win_frac=256)
-            st = np.asarray(ctx["stats"])
+            hdr = np.asarray(ctx["prefix"])
+            st = hdr[:3, 0]
         while int(st[0]) > 0 and ctx["cap"] < self.index.max_aa_run():
             cap = min(ctx["cap"] * 2, self.index.max_aa_run())
             self.cap = max(self.cap, cap)
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
                                           ctx["a2"], ctx["l2"], cap=cap)
-            st = np.asarray(ctx["stats"])
+            hdr = np.asarray(ctx["prefix"])
+            st = hdr[:3, 0]
         # path-compaction width overflow: re-run with a doubled static width
-        while int(st[1]) > ctx["paths"].shape[1]:
-            self._path_width = max(self._path_width, ctx["paths"].shape[1]) * 2
+        while int(st[1]) > ctx["paths"].shape[1] - 1:
+            self._path_width = max(self._path_width, ctx["paths"].shape[1] - 1) * 2
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
                                           ctx["a2"], ctx["l2"], cap=ctx["cap"],
                                           path_width=self._path_width)
-            st = np.asarray(ctx["stats"])
+            hdr = np.asarray(ctx["prefix"])
+            st = hdr[:3, 0]
 
         names, l1, l2 = ctx["names"], ctx["l1"], ctx["l2"]
         B = len(names)
         with self.timer.stage("fetch"):
             n = int(st[1])
             if n <= ctx["est"]:
-                arr = np.asarray(ctx["prefix"])[:, :n]
+                arr = hdr[:, 1:n + 1]
             else:
-                arr = np.asarray(ctx["paths"][:, :n])
+                arr = np.asarray(ctx["paths"][:, 1:n + 1])
             # 1.25x headroom: the D2H tunnel runs ~200 MB/s, so prefix
             # bytes are ~5 ms/MB of device-queue time — keep it tight
             self._path_estimate = _pow2_bucket(int(n * 1.25), floor=2048)
@@ -399,21 +418,19 @@ class Classifier:
                 from ..models.flagship import redundancy_counts
 
                 sel, species, ham, ef, q_pos, q_sids = ctx["resident"]
-                packed2, stats2 = redundancy_counts(
+                packed2 = redundancy_counts(
                     sel, species, ham, ef, q_pos, q_sids,
                     jnp.asarray(best_sp),
                     self.euler, self.lca_depth, self.lca_lift,
                     dna_shift=int(self.taxonomer.dna_shift),
                     n_quot=ctx["n_quot"])
-                est2 = min(self._pairs_estimate, packed2.shape[1])
-                prefix2 = packed2[:, :est2]
-                for arr2 in (prefix2, stats2):
-                    try:
-                        arr2.copy_to_host_async()
-                    except AttributeError:
-                        pass
-                out_ctx.update(pairs=packed2, stats2=stats2,
-                               prefix2=prefix2, est2=est2)
+                est2 = min(self._pairs_estimate, packed2.shape[1] - 1)
+                prefix2 = packed2[:, :est2 + 1]
+                try:
+                    prefix2.copy_to_host_async()
+                except AttributeError:
+                    pass
+                out_ctx.update(pairs=packed2, prefix2=prefix2, est2=est2)
         return out_ctx
 
     def _finish_dp_phase2(self, ctx):
@@ -421,14 +438,14 @@ class Classifier:
         results = ctx["results"]
         if ctx["deferred"]:
             with self.timer.stage("redundancy_sync"):
-                st2 = np.asarray(ctx["stats2"])
-                n2 = int(st2[0])
+                hdr2 = np.asarray(ctx["prefix2"])   # ONE blocking fetch
+                n2 = int(hdr2[0, 0])
                 if n2 <= ctx["est2"]:
-                    m2 = np.asarray(ctx["prefix2"])[:, :n2]
+                    m2 = hdr2[:, 1:n2 + 1]
                 else:
-                    m2 = np.asarray(ctx["pairs"][:, :n2])
-                self._pairs_estimate = _pow2_bucket(int(n2 * 1.5))
-                self.total_match_cnt += int(st2[1])
+                    m2 = np.asarray(ctx["pairs"][:, 1:n2 + 1])
+                self._pairs_estimate = _pow2_bucket(int(n2 * 1.25), floor=1024)
+                self.total_match_cnt += int(hdr2[1, 0])
                 # per-(read, lca) group counts -> tax_cnt dicts
                 tax_cnts: dict = {}
                 try:

@@ -107,9 +107,11 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     LCA-ready coordinate the redundancy kernel needs) — so the whole
     candidate probe is ONE u32-row gather.
 
-    Returns (paths_packed [7, P], stats int32 [overflow, path_count],
-    resident) where resident = (sel, species, ham, ef, q_pos, q_sids)
-    stays on device for the later redundancy kernel.
+    Returns (packed_hdr [7, 1+P], resident): column 0 of packed_hdr is a
+    stats header (rows 0-2 = overflow, path_count, window-compaction
+    overflow), columns 1..P the compacted path columns; resident =
+    (sel, species, ham, ef, q_pos, q_sids) stays on device for the later
+    redundancy kernel.
     """
     from ..ops import compact_jax, dp_jax
 
@@ -202,10 +204,15 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                                                        out_width=path_width)
 
     resident = (out["sel"], sp_clean, out["hamming"], out["taxid"], qp, qs)
-    # stats ride home as ONE tiny array (async-copyable): separate scalar
-    # int() fetches each pay a full tunnel round-trip
+    # stats ride home as HEADER COLUMN 0 of the packed array: the host
+    # then needs ONE blocking fetch per batch (stats + path prefix
+    # together) — each separate np.asarray costs a full tunnel
+    # round-trip (~1.5 ms) plus a queue stall
     stats = jnp.stack([out["overflow"], paths_count, win_over])
-    return paths_packed, stats, resident
+    hdr = jnp.zeros((paths_packed.shape[0], 1), jnp.int32)
+    hdr = hdr.at[:3, 0].set(stats)
+    packed_hdr = jnp.concatenate([hdr, paths_packed], axis=1)
+    return packed_hdr, resident
 
 
 def _lca_pair_lift(a, b, depth, lift):
@@ -285,8 +292,9 @@ def redundancy_counts(sel, species, ham, ef, q_pos, q_sids,
     rid = jnp.arange(n_groups, dtype=I32) // n_quot + 1
     cols = jnp.stack([rid, lca.astype(I32)])
     packed, count = dp_jax.compact_columns(cols, gvalid)
+    # stats as header column 0 (see fused_step_dp): one host fetch
     stats = jnp.stack([count, jnp.sum(sel2).astype(I32)])
-    return packed, stats
+    return jnp.concatenate([stats[:, None], packed], axis=1)
 
 
 def synthetic_db(n_kmers=4096, n_species=8, seed=0):

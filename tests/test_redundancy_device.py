@@ -63,16 +63,17 @@ def test_device_redundancy_equals_host(seed):
 
     depth, lift = tax.lca_lift_tables()
     ef = tax.euler_first.astype(np.int32)[taxid]
-    packed, stats = redundancy_counts(
+    packed_hdr = redundancy_counts(
         jnp.asarray(sel.T), jnp.asarray(species.T), jnp.asarray(ham.T),
         jnp.asarray(ef.T), jnp.asarray(q_pos), jnp.asarray(q_sids),
         jnp.asarray(best_sp),
         jnp.asarray(tax.euler.astype(np.int32)),
         jnp.asarray(depth), jnp.asarray(lift),
         dna_shift=dna_shift, n_quot=n_quot)
-    n2 = int(stats[0])
-    assert int(stats[1]) == int(sel2.sum())
-    m2 = np.asarray(packed[:, :n2])
+    hdr2 = np.asarray(packed_hdr)
+    n2 = int(hdr2[0, 0])
+    assert int(hdr2[1, 0]) == int(sel2.sum())
+    m2 = hdr2[:, 1:n2 + 1]
     tax_dev: dict = {}
     for r, t in zip(m2[0].tolist(), m2[1].tolist()):
         tax_dev.setdefault(r, {})[t] = tax_dev.get(r, {}).get(t, 0) + 1
