@@ -132,9 +132,19 @@ class Classifier:
         # gathers per column, so start tight; overflow re-runs wider and
         # sticks (each distinct width is one extra compile)
         self._path_width = 1 << 16
+        # per-lane slot count for the blocked path packer (dp_jax.
+        # pack_paths_blocked); lanes with more emitted paths trigger a
+        # sticky doubled re-run
+        self._path_block = 16
         # syncmer window-compaction width, in 256ths of W (~62% of windows
         # pass the anchor rule on random sequence; 184/256 = 72% headroom)
         self._win_frac = 184 if self.syncmer else 256
+        # host-built right-aligned reads only pay off when the device is
+        # directly attached (see _prep_arrays); tunneled backends (axon)
+        # prefer the on-device gather
+        import jax
+
+        self._host_ra = jax.default_backend() not in ("axon",)
         self._init_device_dp()
 
     def _init_device_dp(self):
@@ -269,20 +279,35 @@ class Classifier:
     def _prep_arrays(self, a1, l1, a2, l2, B):
         import jax.numpy as jnp
 
+        from ..ops.encode_jax import right_align
+
         l1 = np.minimum(np.asarray(l1, dtype=np.int32), a1.shape[1])
         lmax1 = _bucket_len(int(l1.max()) if B else 1)
-        r1 = jnp.asarray(np.ascontiguousarray(a1[:, :lmax1]))
+        h1 = np.ascontiguousarray(a1[:, :lmax1])
+        r1 = jnp.asarray(h1)
+        # right-aligned copy for the reverse frames.  Host-built
+        # (encode_jax.right_align) saves a ~1.6 ms device gather but
+        # DOUBLES the read upload; through the tunnel (~43 MB/s H2D)
+        # the extra bytes cost more than the gather, so host-build only
+        # when the device is directly attached.
+        if self._host_ra:
+            ra1 = jnp.asarray(right_align(h1, l1))
+        else:
+            ra1 = None
         j1 = jnp.asarray(l1)
         paired = a2 is not None
         if paired:
             l2 = np.minimum(np.asarray(l2, dtype=np.int32), a2.shape[1])
             lmax2 = _bucket_len(int(l2.max()) if B else 1)
-            r2 = jnp.asarray(np.ascontiguousarray(a2[:, :lmax2]))
+            h2 = np.ascontiguousarray(a2[:, :lmax2])
+            r2 = jnp.asarray(h2)
+            ra2 = jnp.asarray(right_align(h2, l2)) if self._host_ra else None
             j2 = jnp.asarray(l2)
         else:
             l2 = None
-            r2, j2 = self._dummy_mate2(B)
-        return r1, j1, r2, j2, l1, l2, paired
+            r2, j2, dra2 = self._dummy_mate2(B)
+            ra2 = dra2 if self._host_ra else None
+        return r1, j1, r2, j2, l1, l2, paired, ra1, ra2
 
     def _dummy_mate2(self, B):
         """Cached zero mate-2 arrays (one device allocation per B)."""
@@ -291,22 +316,25 @@ class Classifier:
             import jax.numpy as jnp
 
             cached = (jnp.zeros((B, 96), dtype=jnp.uint8),
-                      jnp.zeros(B, dtype=jnp.int32))
+                      jnp.zeros(B, dtype=jnp.int32),
+                      jnp.zeros((B, 96), dtype=jnp.uint8))
             self._dummy2 = cached
         return cached
 
     def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None,
-                           path_width=None, win_frac=None):
+                           path_width=None, win_frac=None, path_block=None):
         from ..models.flagship import fused_step_dp
 
         B = len(names)
         cap = cap or self.cap
         path_width = path_width or self._path_width
         win_frac = win_frac or self._win_frac
+        path_block = path_block or self._path_block
         with self.timer.stage("dispatch"):
-            r1, j1, r2, j2, l1, l2, paired = self._prep_arrays(a1, l1, a2, l2, B)
+            r1, j1, r2, j2, l1, l2, paired, ra1, ra2 = \
+                self._prep_arrays(a1, l1, a2, l2, B)
             packed_hdr, resident = fused_step_dp(
-                r1, j1, r2, j2, self.db_quad,
+                r1, j1, r2, j2, self.db_quad, ra1=ra1, ra2=ra2,
                 min_cons=int(self.params.min_cons_cnt),
                 min_cons_euk=int(self.params.min_cons_cnt_euk),
                 cap=cap, kmer_format=self.kmer_format,
@@ -314,6 +342,7 @@ class Classifier:
                 bucket_lo=self.bucket_lo, db_aa_lo=self.db_aa_lo,
                 bucket_shift=self.bucket_shift, bucket_steps=self.bucket_steps,
                 path_width=path_width, win_frac=win_frac,
+                path_block=path_block,
             )
             # column 0 is the stats header; one async copy carries both
             # the stats and the estimated path prefix home
@@ -348,7 +377,7 @@ class Classifier:
 
         with self.timer.stage("hdr_sync"):
             hdr = np.asarray(ctx["prefix"])      # ONE blocking fetch
-            st = hdr[:3, 0]
+            st = hdr[:4, 0]
         # window-compaction overflow (a row had more syncmer anchors than
         # the compacted width): widen permanently, re-run uncompacted
         if int(st[2]) > 0:
@@ -357,14 +386,23 @@ class Classifier:
                                           ctx["a2"], ctx["l2"], cap=ctx["cap"],
                                           win_frac=256)
             hdr = np.asarray(ctx["prefix"])
-            st = hdr[:3, 0]
+            st = hdr[:4, 0]
         while int(st[0]) > 0 and ctx["cap"] < self.index.max_aa_run():
             cap = min(ctx["cap"] * 2, self.index.max_aa_run())
             self.cap = max(self.cap, cap)
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
                                           ctx["a2"], ctx["l2"], cap=cap)
             hdr = np.asarray(ctx["prefix"])
-            st = hdr[:3, 0]
+            st = hdr[:4, 0]
+        # blocked-packer lane overflow: a (read*frame, cap) lane emitted
+        # more than path_block paths — re-run with a doubled sticky block
+        while int(st[3]) > 0:
+            self._path_block *= 2
+            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
+                                          ctx["a2"], ctx["l2"], cap=ctx["cap"],
+                                          path_block=self._path_block)
+            hdr = np.asarray(ctx["prefix"])
+            st = hdr[:4, 0]
         # path-compaction width overflow: re-run with a doubled static width
         while int(st[1]) > ctx["paths"].shape[1] - 1:
             self._path_width = max(self._path_width, ctx["paths"].shape[1] - 1) * 2
@@ -372,7 +410,7 @@ class Classifier:
                                           ctx["a2"], ctx["l2"], cap=ctx["cap"],
                                           path_width=self._path_width)
             hdr = np.asarray(ctx["prefix"])
-            st = hdr[:3, 0]
+            st = hdr[:4, 0]
 
         names, l1, l2 = ctx["names"], ctx["l1"], ctx["l2"]
         B = len(names)
@@ -599,34 +637,40 @@ class Classifier:
         return self.drive_batches(batches, progress)
 
     def drive_batches(self, batches, progress=None):
-        """2-deep software pipeline over (names, a1, l1, a2, l2) batches.
+        """Deep software pipeline over (names, a1, l1, a2, l2) batches.
 
         Depth 1 (the reference's master/worker IO overlap,
         KmerExtractor.cpp:113-193, recast as async dispatch) hides host
-        scoring of batch b-1 behind the device step of batch b.  The
-        second level exists because the redundancy kernel for b-1 is
-        enqueued BEHIND b's fused step in the in-order device queue —
-        waiting on it inside b-1's finish would block a full device step,
-        so its (tiny) result is collected one iteration later still.
+        scoring of batch b-1 behind the device step of batch b.  Phase-2
+        results are collected TWO iterations after their redundancy
+        kernel is enqueued: a blocking device->host fetch through the
+        tunnel pays a ~32 ms round-trip latency unless the transfer has
+        had a full iteration to complete in the background, so phase 2
+        of batch b waits until iteration b+3.
         """
+        from collections import deque
+
         all_results = []
         done = 0
-        pend1 = pend2 = None
+        pend1 = None
+        pend2: deque = deque()
         for names, a1, l1, a2, l2 in batches:
             ctx = self._dispatch_batch(names, a1, l1, a2, l2)
-            if pend2 is not None:
-                res = self._finish_complete(pend2)
+            while len(pend2) >= 2:
+                res = self._finish_complete(pend2.popleft())
                 all_results.extend(res)
                 done += len(res)
                 if progress:
                     progress(done)
-            pend2 = self._finish_partial(pend1) if pend1 is not None else None
+            if pend1 is not None:
+                pend2.append(self._finish_partial(pend1))
             pend1 = ctx
-        for part in (pend2, self._finish_partial(pend1) if pend1 else None):
-            if part is not None:
-                res = self._finish_complete(part)
-                all_results.extend(res)
-                done += len(res)
-                if progress:
-                    progress(done)
+        if pend1 is not None:
+            pend2.append(self._finish_partial(pend1))
+        while pend2:
+            res = self._finish_complete(pend2.popleft())
+            all_results.extend(res)
+            done += len(res)
+            if progress:
+                progress(done)
         return all_results

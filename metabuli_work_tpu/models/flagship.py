@@ -84,7 +84,8 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
 
 @functools.partial(jax.jit, static_argnames=(
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
-    "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac"))
+    "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
+    "path_block"))
 def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   min_cons_euk: int = 9,
                   cap: int = 16, kmer_format: int = 2,
@@ -92,7 +93,8 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   paired: bool = False,
                   bucket_lo=None, db_aa_lo=None,
                   bucket_shift: int = 0, bucket_steps: int = 0,
-                  path_width: int = 0, win_frac: int = 0):
+                  path_width: int = 0, win_frac: int = 0,
+                  path_block: int = 16, ra1=None, ra2=None):
     """Full device pipeline WITH on-device path DP.
 
     extract (+mate2) -> probe -> per-window candidate sort -> path DP ->
@@ -108,8 +110,9 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     candidate probe is ONE u32-row gather.
 
     Returns (packed_hdr [7, 1+P], resident): column 0 of packed_hdr is a
-    stats header (rows 0-2 = overflow, path_count, window-compaction
-    overflow), columns 1..P the compacted path columns; resident =
+    stats header (rows 0-3 = candidate-cap overflow, path_count,
+    window-compaction overflow, blocked-packer lane overflow), columns
+    1..P the compacted path columns; resident =
     (sel, species, ham, ef, q_pos, q_sids) stays on device for the later
     redundancy kernel.
     """
@@ -123,12 +126,14 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     dyn_gap = bool(syncmer and kmer_format == 2
                    and 0 < win_frac < 256)
     win_over = jnp.int32(0)
+    blk_over = jnp.int32(0)
 
-    def extract_part(reads, lens):
+    def extract_part(reads, lens, ra):
         nonlocal win_over
         kk, pp, vv = encode_jax.extract_batch(reads, lens, syncmer=syncmer,
                                               smer_len=smer_len,
-                                              kmer_format=kmer_format)
+                                              kmer_format=kmer_format,
+                                              reads_ra=ra)
         if dyn_gap:
             W = kk.shape[2]
             w_c = max(min((W * win_frac + 255) // 256, W), 1)
@@ -136,13 +141,13 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
             win_over = win_over + over
         return kk, pp, vv
 
-    k1, p1, v1 = extract_part(reads1, lens1)
+    k1, p1, v1 = extract_part(reads1, lens1, ra1)
     b = reads1.shape[0]
     sids = jnp.arange(1, b + 1, dtype=jnp.int32)
     parts = [encode_jax.flatten_batch(k1, p1, v1, sids)]
     shapes = [k1.shape]  # (B, 6, W)
     if paired:
-        k2, p2, v2 = extract_part(reads2, lens2)
+        k2, p2, v2 = extract_part(reads2, lens2, ra2)
         p2 = p2 + (lens1 + 3)[:, None, None]
         parts.append(encode_jax.flatten_batch(k2, p2, v2, sids))
         shapes.append(k2.shape)
@@ -150,6 +155,8 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
         # keep the dummy mate-2 parameters alive so XLA's unused-parameter
         # DCE cannot change the executable's buffer arity across cache hits
         tie = jnp.where(lens2[0] < 0, reads2[0, 0].astype(jnp.int32), 0)
+        if ra2 is not None:
+            tie = tie + jnp.where(lens2[0] < 0, ra2[0, 0].astype(jnp.int32), 0)
         sids = sids + tie
 
     qk = jnp.concatenate([p[0] for p in parts])
@@ -194,7 +201,8 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                             fields["rh"], fields["ham"], fields["pos"], md,
                             max_shift=max_shift, kmer_format=kmer_format,
                             dyn_gap=dyn_gap)
-        cols, psel = dp_jax.pack_paths(dp)
+        cols, psel, b_over = dp_jax.pack_paths_blocked(dp, path_block)
+        blk_over = blk_over + b_over
         packed_parts.append(cols)
         sel_parts.append(psel)
 
@@ -208,9 +216,9 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     # then needs ONE blocking fetch per batch (stats + path prefix
     # together) — each separate np.asarray costs a full tunnel
     # round-trip (~1.5 ms) plus a queue stall
-    stats = jnp.stack([out["overflow"], paths_count, win_over])
+    stats = jnp.stack([out["overflow"], paths_count, win_over, blk_over])
     hdr = jnp.zeros((paths_packed.shape[0], 1), jnp.int32)
-    hdr = hdr.at[:3, 0].set(stats)
+    hdr = hdr.at[:4, 0].set(stats)
     packed_hdr = jnp.concatenate([hdr, paths_packed], axis=1)
     return packed_hdr, resident
 

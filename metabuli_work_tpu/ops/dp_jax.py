@@ -302,6 +302,56 @@ def pack_paths(out):
     return cols, sel
 
 
+def pack_paths_blocked(out, block_w: int):
+    """pack_paths + per-lane block compaction: [T, cap, G] -> [7, block_w*G].
+
+    The emit tensor is ~1-3% dense, but the global compaction scatter
+    (compact_columns) walks EVERY input row (~4.6 ns/row on v5e) — at
+    [T*cap*G] ~ 1.7M rows that one scatter dominated the fused step
+    (~7.7 ms/batch).  Pre-compacting each G lane's T*cap rows into
+    block_w slots via the one-hot masked-sum trick (pure VPU, no
+    gather/scatter — same pattern as encode_jax.compact_windows) shrinks
+    the global scatter ~T*cap/block_w-fold.
+
+    Output flat order is (slot, g) slot-major; within one g, slot order
+    equals (t, j) ascending — exactly pack_paths' order restored by the
+    host's stable lexsort (see pack_paths docstring), so downstream
+    tie-breaking is unchanged.
+
+    Returns (cols [7, block_w*G], valid [block_w*G], blk_overflow) where
+    blk_overflow counts emitted paths dropped because a lane had more
+    than block_w — the caller re-runs with a doubled block_w.
+    """
+    T, cap, G = out["emit"].shape
+    R = T * cap
+    block_w = min(block_w, R)
+    emit = out["emit"].reshape(R, G)
+    rank = jnp.cumsum(emit.astype(I32), axis=0) - 1
+    cnt = rank[-1] + 1                                     # [G]
+    blk_over = jnp.sum(jnp.maximum(cnt - block_w, 0)).astype(I32)
+    slots = jnp.arange(block_w, dtype=I32)
+    oh = emit[None] & (rank[None] == slots[:, None, None])  # [bw, R, G]
+
+    def take(a):
+        a = a.reshape(R, G)
+        return jnp.sum(jnp.where(oh, a[None], jnp.zeros((), a.dtype)),
+                       axis=1, dtype=a.dtype).reshape(block_w * G)
+
+    g_ids = jnp.broadcast_to(jnp.arange(G, dtype=I32)[None, :],
+                             (block_w, G)).reshape(block_w * G)
+    cols = jnp.stack([
+        g_ids,
+        take(out["species"].astype(I32)),
+        take(out["start"].astype(I32)),
+        take(out["end"].astype(I32)),
+        take(jax.lax.bitcast_convert_type(out["score"].astype(F32), I32)),
+        take((out["hamming"].astype(I32) << 16) | out["rh_start"].astype(I32)),
+        take(out["rh_end"].astype(I32)),
+    ])
+    valid = (slots[:, None] < cnt[None, :]).reshape(block_w * G)
+    return cols, valid, blk_over
+
+
 def compact_columns(cols, sel, out_width: int = 0):
     """Compact valid rows of [C, N] int32 columns to the front.
 

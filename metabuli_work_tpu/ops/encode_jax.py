@@ -23,6 +23,60 @@ import numpy as np
 from .genetic_code import AANUM, KMER_LEN
 
 _U64 = jnp.uint64
+
+
+def _pack_codon_planes():
+    """Bit-plane constants for gather-free codon->(aa<<3|num) lookup.
+
+    The 64 ACGT codons (2-bit base codes b0b1b2) map to an 8-bit AANUM
+    value; packing each of the 8 value bits into one 64-bit constant
+    (as two u32 halves) turns the 512-entry table gather into ~5 VPU
+    lane ops per bit-plane.  TPU gathers cost ~8 ns/element even from
+    tiny tables — the two aanum gathers were ~2.4 ms/batch.
+
+    Returns (planes_fwd, planes_rc): planes_rc[p] is the AANUM value of
+    the reverse-complement codon of p, so both strands read the SAME
+    packed-codon array (no separate complement array needed).
+    """
+    def tbl64(rc):
+        t = np.empty(64, dtype=np.uint8)
+        for a in range(4):
+            for b in range(4):
+                for c in range(4):
+                    if rc:
+                        t[(a << 4) | (b << 2) | c] = AANUM[
+                            ((c ^ 2) << 6) | ((b ^ 2) << 3) | (a ^ 2)]
+                    else:
+                        t[(a << 4) | (b << 2) | c] = AANUM[
+                            (a << 6) | (b << 3) | c]
+        return t
+
+    def planes(t):
+        out = []
+        for bit in range(8):
+            bits = (t.astype(np.uint64) >> bit) & 1
+            lo = np.uint32(sum(int(bits[i]) << i for i in range(32)))
+            hi = np.uint32(sum(int(bits[32 + i]) << i for i in range(32)))
+            out.append((lo, hi))
+        return out
+
+    return planes(tbl64(False)), planes(tbl64(True))
+
+
+_PLANES_FWD, _PLANES_RC = _pack_codon_planes()
+
+
+def _codon_plane_lookup(planes, idx):
+    """8-bit AANUM value from bit-plane constants; idx int32 0..63."""
+    U32 = jnp.uint32
+    idx = idx.astype(U32)
+    sh = idx & U32(31)
+    use_hi = idx >= U32(32)
+    v = jnp.zeros(idx.shape, U32)
+    for bit, (lo, hi) in enumerate(planes):
+        word = jnp.where(use_hi, U32(hi), U32(lo))
+        v = v | (((word >> sh) & U32(1)) << U32(bit))
+    return v.astype(jnp.uint8)
 # Tables stay as NUMPY arrays at module level: converting them inside the
 # traced functions embeds them as HLO literal constants.  Module-level
 # jax.Arrays would instead be captured as *implicit executable arguments*,
@@ -43,10 +97,25 @@ def _used_len(lengths):
     return lengths - sub
 
 
+def right_align(arr: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Host-side right-aligned copy of a padded read batch.
+
+    ra[b, i] = arr[b, i - (Lmax - len_b)], 'N' left-fill.  Supplying this
+    to extract_batch removes the only per-read device gather from the
+    encode (~1.6 ms/batch on v5e); the extra H2D bytes are negligible.
+    """
+    B, Lmax = arr.shape
+    src = np.arange(Lmax, dtype=np.int64)[None, :] - (Lmax - lens)[:, None]
+    ra = arr[np.arange(B)[:, None], np.clip(src, 0, Lmax - 1)]
+    ra[src < 0] = ord("N")
+    return ra
+
+
 @functools.partial(jax.jit,
                    static_argnames=("syncmer", "smer_len", "k", "aa_only", "kmer_format"))
 def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
-                  k: int = KMER_LEN, aa_only: bool = False, kmer_format: int = 2):
+                  k: int = KMER_LEN, aa_only: bool = False, kmer_format: int = 2,
+                  reads_ra=None):
     """Extract metamers for a batch of reads.
 
     Args:
@@ -73,26 +142,47 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
 
     # Gathers cost ~10 ns/element on TPU, so the encode avoids them:
     # nucleotide coding is arithmetic ((ascii|0x20) & 14) >> 1 with an
-    # explicit ACGT whitelist; codon->(aa, num) is ONE uint8 gather from
-    # the fused AANUM table over each prefolded packed-codon array;
+    # explicit ACGT whitelist; codon->(aa, num) is a bit-plane select
+    # chain over packed 64-entry constants (no table gathers at all);
     # forward frames then read codons via static strided slices (their
     # frame offset is a compile-time constant) — only the three reverse
     # frames need a per-read take_along_axis (start depends on length).
-    aanum = jnp.asarray(AANUM)
     v = reads | jnp.uint8(0x20)
     raw = (v & jnp.uint8(14)) >> jnp.uint8(1)
     okb = (v == 97) | (v == 99) | (v == 103) | (v == 116)  # acgt
-    codes = jnp.where(okb, raw, jnp.uint8(7))
-    compc = jnp.where(okb, raw ^ jnp.uint8(2), jnp.uint8(7))  # A<->T, C<->G
 
     i32 = lambda a: a.astype(jnp.int32)
-    # packed codon index at every forward start position i (bases i..i+2)
-    pk = (i32(codes[:, :-2]) << 6) | (i32(codes[:, 1:-1]) << 3) | i32(codes[:, 2:])
-    # reverse-complement codon whose rc-array position is q = Lmax-3-j for
-    # forward index j: (comp c[j+2], comp c[j+1], comp c[j]) read leftward
-    pk_r = (i32(compc[:, 2:]) << 6) | (i32(compc[:, 1:-1]) << 3) | i32(compc[:, :-2])
-    an_f = aanum[pk]                              # [B, Lmax-2]
-    an_rc = aanum[pk_r][:, ::-1]                  # [B, Lmax-2], rc-index order
+    c2 = i32(raw & jnp.uint8(3))                  # 2-bit base code (A0 C1 T2 G3)
+    ok3 = okb[:, :-2] & okb[:, 1:-1] & okb[:, 2:]
+    # packed 6-bit codon at every forward start position i (bases i..i+2)
+    p6 = (c2[:, :-2] << 4) | (c2[:, 1:-1] << 2) | c2[:, 2:]
+    bad = jnp.uint8(255)
+    an_f = jnp.where(ok3, _codon_plane_lookup(_PLANES_FWD, p6), bad)
+
+    # Reverse frames work on RIGHT-ALIGNED reads, so the reversed
+    # rc-codon array is LEFT-aligned and every rc frame reads it via
+    # static strided slices selected by length%3 — no per-frame
+    # take_along_axis.  The aligned copy ideally arrives from the host
+    # (right_align, free at batch-prep time); the device gather below is
+    # the fallback for callers that don't supply it.
+    if reads_ra is not None:
+        ra = reads_ra
+    else:
+        colid = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+        src = colid - (Lmax - lengths)[:, None]
+        ra = jnp.take_along_axis(reads, jnp.clip(src, 0, Lmax - 1), axis=1)
+        ra = jnp.where(src >= 0, ra, jnp.uint8(ord("N")))
+    v_ra = ra | jnp.uint8(0x20)
+    raw_ra = (v_ra & jnp.uint8(14)) >> jnp.uint8(1)
+    okb_ra = (v_ra == 97) | (v_ra == 99) | (v_ra == 103) | (v_ra == 116)
+    c2_ra = i32(raw_ra & jnp.uint8(3))
+    ok3_ra = okb_ra[:, :-2] & okb_ra[:, 1:-1] & okb_ra[:, 2:]
+    p6_ra = (c2_ra[:, :-2] << 4) | (c2_ra[:, 1:-1] << 2) | c2_ra[:, 2:]
+    # rc-direct value at pos j = AANUM of revcomp codon (bases j+2,j+1,j
+    # complemented); reversing puts it in rc-index order, and the
+    # right-alignment makes rc index 0 = the read's last codon
+    an_rc = jnp.where(ok3_ra, _codon_plane_lookup(_PLANES_RC, p6_ra),
+                      bad)[:, ::-1]
 
     pad = 3 * aa_max + 2 - (Lmax - 2)             # strided slices need aa_max cols
     if pad > 0:
@@ -113,12 +203,21 @@ def extract_batch(reads, lengths, syncmer: bool = False, smer_len: int = 5,
             an = an_f[:, frame::3][:, :aa_max]     # static slice, no gather
         else:
             begin = (lengths % 3 - frame % 3) % 3
-            seq_end = begin + used - 1
-            # rc array index of forward-equivalent codon 0:
-            start = Lmax - 1 - seq_end
-            p = start[:, None] + 3 * j[None, :]    # [B, aa_max]
-            p = jnp.clip(p, 0, n_cols - 1)         # clamp; tails masked later
-            an = jnp.take_along_axis(an_rc, p, axis=1)
+            # with right-aligned rc the scan start is a pure function of
+            # length%3: start = sub(rem) - begin(rem), sub per
+            # maxCoveredLength (LocalUtil.h:50-59) — 3 static slices
+            # selected per read, no gather
+            rem = lengths % 3
+            sub = {0: 3, 1: 4, 2: 2}
+            sl = {}
+            for r in (0, 1, 2):
+                s = sub[r] - (r - frame % 3) % 3
+                if s not in sl:
+                    sl[s] = an_rc[:, s::3][:, :aa_max]
+            s_of = [sub[r] - (r - frame % 3) % 3 for r in (0, 1, 2)]
+            an = jnp.where(rem[:, None] == 0, sl[s_of[0]],
+                           jnp.where(rem[:, None] == 1, sl[s_of[1]],
+                                     sl[s_of[2]]))
         aa = an >> jnp.uint8(3)                    # [B, aa_max] uint8
         num = an & jnp.uint8(7)
         cvalid = (aa <= 20) & (j[None, :] < aa_len[:, None])
