@@ -652,8 +652,8 @@ class Classifier:
 
         all_results = []
         done = 0
-        pend1 = None
-        pend2: deque = deque()
+        pend1: deque = deque()   # dispatched, awaiting phase 1 (2 deep)
+        pend2: deque = deque()   # phase-1 done, awaiting phase 2 (2 deep)
         for names, a1, l1, a2, l2 in batches:
             ctx = self._dispatch_batch(names, a1, l1, a2, l2)
             while len(pend2) >= 2:
@@ -662,11 +662,11 @@ class Classifier:
                 done += len(res)
                 if progress:
                     progress(done)
-            if pend1 is not None:
-                pend2.append(self._finish_partial(pend1))
-            pend1 = ctx
-        if pend1 is not None:
-            pend2.append(self._finish_partial(pend1))
+            pend1.append(ctx)
+            if len(pend1) > 2:
+                pend2.append(self._finish_partial(pend1.popleft()))
+        while pend1:
+            pend2.append(self._finish_partial(pend1.popleft()))
         while pend2:
             res = self._finish_complete(pend2.popleft())
             all_results.extend(res)

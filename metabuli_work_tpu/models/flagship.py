@@ -173,6 +173,11 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     sp_clean = out["species"] & jnp.int32(0x3FFFFFFF)
 
     max_shift = (8 - smer_len) if syncmer else 1
+    # compact 5-column path layout when every 16-bit field provably
+    # fits (g < 2^16, end+26 < 2^16, path hamming < 2^16); long-read
+    # chunks beyond 16 kb keep the 7-column layout
+    lmax_all = reads1.shape[1] + (reads2.shape[1] + 3 if paired else 0)
+    compact5 = (b * 6 < (1 << 16)) and (lmax_all < (1 << 14))
     packed_parts = []
     sel_parts = []
     offset = 0
@@ -201,7 +206,8 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                             fields["rh"], fields["ham"], fields["pos"], md,
                             max_shift=max_shift, kmer_format=kmer_format,
                             dyn_gap=dyn_gap)
-        cols, psel, b_over = dp_jax.pack_paths_blocked(dp, path_block)
+        cols, psel, b_over = dp_jax.pack_paths_blocked(dp, path_block,
+                                                       compact5=compact5)
         blk_over = blk_over + b_over
         packed_parts.append(cols)
         sel_parts.append(psel)
