@@ -30,7 +30,7 @@ REFERENCE_READS_PER_SEC = 10_000.0  # nominal; see module docstring
 
 N_GENOMES = 8
 GENOME_LEN = 200_000
-N_READS = 8192
+N_READS = 24576
 N_WARM = 3072          # unmeasured reads: compile + estimate stabilization
 READ_LEN = 150
 BATCH = 1024
