@@ -78,6 +78,26 @@ def _pow2_bucket(n: int, floor: int = 4096) -> int:
     return max(floor, 1 << max(0, (int(n) - 1)).bit_length())
 
 
+def _step_bucket(n: int, step: int, floor: int) -> int:
+    """Round up to a multiple of ``step``: finer-grained than pow2 so
+    prefix transfers carry less slack (the tunnel moves ~43 MB/s — every
+    spare KB is real time), while the shape set stays small enough that
+    slice-executable compiles stay rare."""
+    return max(floor, step * ((int(n) + step - 1) // step))
+
+
+def _est_update(cur: int, n: int, step: int, floor: int) -> int:
+    """Estimate update with hysteresis: grow immediately (an undersized
+    prefix forces a full-width fallback fetch), but shrink only when the
+    need sits >= 2 steps below the current estimate — per-batch
+    oscillation across a step boundary would recompile the prefix slice
+    every batch (~tens of ms each through the tunnel)."""
+    want = _step_bucket(n, step, floor)
+    if want > cur or want <= cur - 2 * step:
+        return want
+    return cur
+
+
 class Classifier:
     def __init__(self, db_dir, params: ClassifyParams):
         self._init_from_index(load_index(db_dir), params)
@@ -422,15 +442,26 @@ class Classifier:
                 arr = np.asarray(ctx["paths"][:, 1:n + 1])
             # 1.25x headroom: the D2H tunnel runs ~200 MB/s, so prefix
             # bytes are ~5 ms/MB of device-queue time — keep it tight
-            self._path_estimate = _pow2_bucket(int(n * 1.25), floor=2048)
+            self._path_estimate = _est_update(self._path_estimate,
+                                              int(n * 1.15), step=4096,
+                                              floor=2048)
 
         with self.timer.stage("score"):
             paths = dp_jax.decode_paths(arr)
             qid = (paths["g"] // 6 + 1).astype(np.int64)
             frame = (paths["g"] % 6).astype(np.int64)
             # reference emission order per (read, species): frame asc, pos asc
-            order = np.lexsort((np.arange(len(qid)), paths["end"], frame,
-                                paths["species"], qid))
+            # one packed-key stable argsort beats a 5-key lexsort ~2x;
+            # fits a non-negative i64 when qid<=2^19, species<2^25 and
+            # end<2^16 (19+25+3+16 = 63 bits)
+            if len(qid) and (int(paths["end"].max()) < (1 << 16)
+                             and B < (1 << 19)):
+                key = (((qid << 25) | paths["species"]) << 19) \
+                    | (frame << 16) | paths["end"]
+                order = np.argsort(key, kind="stable")
+            else:
+                order = np.lexsort((np.arange(len(qid)), paths["end"], frame,
+                                    paths["species"], qid))
             pa = {
                 "qid": qid[order], "species": paths["species"][order],
                 "start": paths["start"][order], "end": paths["end"][order],
@@ -462,7 +493,12 @@ class Classifier:
                     self.euler, self.lca_depth, self.lca_lift,
                     dna_shift=int(self.taxonomer.dna_shift),
                     n_quot=ctx["n_quot"])
-                est2 = min(self._pairs_estimate, packed2.shape[1] - 1)
+                # the prefix here stays FULL WIDTH on purpose: the
+                # identity getitem is free, while a genuine slice
+                # program dispatched at this queue position stalls the
+                # host ~17 ms per batch (tunnel pathology, measured);
+                # the whole [2, n_groups] row is only ~147 KB anyway
+                est2 = packed2.shape[1] - 1
                 prefix2 = packed2[:, :est2 + 1]
                 try:
                     prefix2.copy_to_host_async()
@@ -482,7 +518,6 @@ class Classifier:
                     m2 = hdr2[:, 1:n2 + 1]
                 else:
                     m2 = np.asarray(ctx["pairs"][:, 1:n2 + 1])
-                self._pairs_estimate = _pow2_bucket(int(n2 * 1.25), floor=1024)
                 self.total_match_cnt += int(hdr2[1, 0])
                 # per-(read, lca) group counts -> tax_cnt dicts
                 tax_cnts: dict = {}
