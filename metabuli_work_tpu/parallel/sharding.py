@@ -180,6 +180,75 @@ def make_sharded_classify_step(mesh: Mesh, cap: int = 16, kmer_format: int = 2,
     )
 
 
+def make_sharded_fused_dp_step(mesh: Mesh, cap: int = 16,
+                               kmer_format: int = 2,
+                               syncmer: bool = False, smer_len: int = 5,
+                               min_cons: int = 4, min_cons_euk: int = 9,
+                               path_block: int = 16, path_width: int = 4096):
+    """Multi-chip version of models/flagship.fused_step_dp.
+
+    Same (dp, db) mesh layout as make_sharded_classify_step, but the
+    FULL single-chip pipeline runs after the collective: each db shard
+    probes its metamer range, a psum over 'db' merges the exclusive
+    per-shard candidate tensors, then every dp shard runs the candidate
+    sort, the consecutive-match path DP and the blocked path compaction
+    on its own reads — the only cross-device traffic is the one
+    candidate-merge reduction (SURVEY.md section 5.8).
+
+    Output (per dp shard, stacked on axis 0): path columns
+    [dp, 7, path_width] in pack_paths layout plus per-shard path counts
+    [dp]; g ids are LOCAL to the shard (host adds B_local*6*shard).
+    """
+    from ..ops import dp_jax
+
+    def step(reads, lengths, dbv, dbt, dbs, dbc):
+        kmers, pos, valid = encode_jax.extract_batch(
+            reads, lengths, syncmer=syncmer, smer_len=smer_len,
+            kmer_format=kmer_format)
+        b, F, W = kmers.shape
+        sids = jnp.arange(1, b + 1, dtype=jnp.int32)
+        qk, qp, qf, qs, qv = encode_jax.flatten_batch(kmers, pos, valid, sids)
+        out = _probe_local(qk, qf, qv, dbv[0], dbc[0], dbt[0], dbs[0],
+                           cap, kmer_format)
+        merged = {k: jax.lax.psum(v.astype(jnp.int32), "db")
+                  for k, v in out.items()}
+
+        resh = lambda a: a.T.reshape(cap, b * F, W)
+        fields = {
+            "sel": resh(merged["sel"]) > 0,
+            "species": resh(merged["species"]),
+            "dna": resh(merged["dna_enc"]),
+            "rh": resh(merged["rh"]),
+            "ham": resh(merged["hamming"]),
+            "pos": jnp.broadcast_to(qp.reshape(1, b * F, W), (cap, b * F, W)),
+        }
+        fields = dp_jax.sort_candidates(fields, fields["sel"], fields["ham"],
+                                        fields["dna"])
+        # euk-ness rides in species bit 30 when the caller passes sp_euk
+        # (same convention as the single-chip fused step)
+        md = jnp.where((fields["species"] >> 30) & 1 != 0,
+                       jnp.int32(min_cons_euk), jnp.int32(min_cons))
+        max_shift = (8 - smer_len) if syncmer else 1
+        dp = dp_jax.path_dp(fields["sel"], fields["species"], fields["dna"],
+                            fields["rh"], fields["ham"], fields["pos"], md,
+                            max_shift=max_shift, kmer_format=kmer_format)
+        cols, psel, _ = dp_jax.pack_paths_blocked(dp, path_block)
+        packed, count = dp_jax.compact_columns(cols, psel,
+                                               out_width=path_width)
+        return packed[None], count[None]
+
+    return jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("dp", None), P("dp"), P("db", None), P("db", None),
+                      P("db", None), P("db")),
+            out_specs=(P("dp", None, None), P("dp")),
+            check_vma=False,
+        )
+    )
+
+
 def device_put_sharded_index(mesh, pv, pt, ps, counts):
     sh = NamedSharding(mesh, P("db", None))
     sh1 = NamedSharding(mesh, P("db"))

@@ -62,6 +62,101 @@ def test_sharded_step_equals_single_device():
     assert int(np.asarray(out8["match_count"])) == int(sel1.sum())
 
 
+def test_sharded_fused_dp_equals_single_device():
+    """Full-pipeline multi-chip step (probe + psum merge + candidate sort
+    + path DP + blocked compaction) emits the same path set as the
+    single-chip path-DP flow on an 8-device CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metabuli_work_tpu.models.flagship import synthetic_db
+    from metabuli_work_tpu.ops import dp_jax, encode_jax, match_jax
+    from metabuli_work_tpu.parallel.sharding import (
+        device_put_sharded_index,
+        make_mesh,
+        make_sharded_fused_dp_step,
+        shard_index,
+    )
+
+    rng = np.random.default_rng(11)
+    # build reads FROM a genome and index that genome so real
+    # consecutive-match paths exist
+    genome = "".join(rng.choice(list("ACGT"), 4000))
+    from metabuli_work_tpu.index.builder import IndexBuilder
+    from tests.tests_helpers_tax import make_flat_tax
+
+    tax = make_flat_tax()
+    builder = IndexBuilder(tax, syncmer=False, mask_mode=0)
+    builder.add_sequence(genome, 4)
+    index = builder.finalize()
+    values, taxids, species = index.values, index.taxids, index.species
+
+    B, L = 16, 96
+    reads = np.zeros((B, L), dtype=np.uint8)
+    for i in range(B):
+        s = int(rng.integers(0, len(genome) - L))
+        reads[i] = np.frombuffer(genome[s:s + L].encode(), np.uint8)
+    lengths = np.full(B, L, np.int32)
+
+    cap, pb, pw = 8, 16, 4096
+
+    # single-device reference: same pieces, no mesh
+    kmers, pos, valid = encode_jax.extract_batch(jnp.asarray(reads),
+                                                 jnp.asarray(lengths))
+    F, W = kmers.shape[1], kmers.shape[2]
+    sids = jnp.arange(1, B + 1, dtype=jnp.int32)
+    qk, qp, qf, qs, qv = encode_jax.flatten_batch(kmers, pos, valid, sids)
+    out = match_jax.match_kmers(qk, qf, qv, jnp.asarray(values),
+                                jnp.asarray(taxids.astype(np.int32)),
+                                jnp.asarray(species.astype(np.int32)),
+                                cap=cap)
+    resh = lambda a: np.asarray(a).T.reshape(cap, B * F, W)
+    fields = {
+        "sel": jnp.asarray(resh(out["sel"])),
+        "species": jnp.asarray(resh(out["species"])),
+        "dna": jnp.asarray(resh(out["dna_enc"])),
+        "rh": jnp.asarray(resh(out["rh"])),
+        "ham": jnp.asarray(resh(out["hamming"])),
+        "pos": jnp.broadcast_to(qp.reshape(1, B * F, W), (cap, B * F, W)),
+    }
+    fields = dp_jax.sort_candidates(fields, fields["sel"], fields["ham"],
+                                    fields["dna"])
+    md = jnp.full(fields["sel"].shape, jnp.int32(4))
+    dp = dp_jax.path_dp(fields["sel"], fields["species"], fields["dna"],
+                        fields["rh"], fields["ham"], fields["pos"], md,
+                        max_shift=1, kmer_format=2)
+    cols1, psel1, _ = dp_jax.pack_paths_blocked(dp, pb)
+    ref_rows = {tuple(int(x) for x in col)
+                for col in np.asarray(cols1).T[np.asarray(psel1)]}
+    assert ref_rows, "test needs a non-empty path set"
+
+    mesh = make_mesh(8)
+    db_ax = mesh.shape["db"]
+    dp_ax = mesh.shape["dp"]
+    pv, pt, ps, counts = shard_index(values, taxids.astype(np.int32),
+                                     species.astype(np.int32), db_ax)
+    dbv, dbt, dbs, dbc = device_put_sharded_index(mesh, pv, pt, ps, counts)
+    r = jax.device_put(jnp.asarray(reads), NamedSharding(mesh, P("dp", None)))
+    l = jax.device_put(jnp.asarray(lengths), NamedSharding(mesh, P("dp")))
+    step = make_sharded_fused_dp_step(mesh, cap=cap, path_block=pb,
+                                      path_width=pw)
+    packed, count = step(r, l, dbv, dbt, dbs, dbc)
+    packed = np.asarray(packed)
+    count = np.asarray(count)
+
+    got_rows = set()
+    b_local = B // dp_ax
+    for s in range(dp_ax):
+        n = int(count[s])
+        rows = packed[s][:, :n].T
+        for row in rows:
+            row = [int(x) for x in row]
+            row[0] += s * b_local * 6      # g ids are shard-local
+            got_rows.add(tuple(row))
+    assert got_rows == ref_rows
+
+
 def test_scaling_runs():
     from metabuli_work_tpu.parallel.scaling import measure_scaling
 
