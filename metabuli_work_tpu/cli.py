@@ -34,6 +34,21 @@ def _add_classify_args(p):
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--validate-input", action="store_true",
                    help="structurally validate FASTA/FASTQ inputs first")
+    # reference-CLI compatibility flags
+    p.add_argument("--threads", type=int, default=0,
+                   help="accepted for reference compatibility; host "
+                        "threading is managed by the pipeline")
+    p.add_argument("--hamming-margin", type=int, default=0,
+                   help="accepted for reference compatibility; the "
+                        "reference stores but never applies it "
+                        "(KmerMatcher.cpp:29 vs compareDna:1136)")
+    p.add_argument("--match-per-kmer", type=int, default=4,
+                   help="initial per-kmer candidate budget; the probe "
+                        "doubles its cap automatically on overflow "
+                        "(reference retries with +=4, Classifier.cpp:128)")
+    p.add_argument("--reduced-aa", type=int, default=0,
+                   help="15-letter alphabet mode (DBs built with it are "
+                        "not supported yet)")
 
 
 def cmd_build(args):
@@ -66,6 +81,11 @@ def cmd_classify(args):
             print(f"validate {path}: {'OK' if ok else 'INVALID'} ({msg})")
             if not ok:
                 return 1
+
+    if getattr(args, "reduced_aa", 0):
+        print("--reduced-aa 1 (15-letter alphabet) databases are not "
+              "supported yet", file=sys.stderr)
+        return 1
 
     params = ClassifyParams(
         seq_mode=args.seq_mode,

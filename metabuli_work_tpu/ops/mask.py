@@ -1,17 +1,63 @@
-"""Low-complexity masking (tantan-equivalent stage).
+"""Low-complexity masking (tantan stage).
 
 The reference masks repeats with tantan before k-mer extraction
-(SeqIterator::maskLowComplexityRegions, src/commons/SeqIterator.cpp:161;
-mask defaults: build on, classify off — workflow/build.cpp:21-22,
-workflow/classify.cpp).  This module provides a vectorized DUST-style
-masker: windows whose triplet-composition score exceeds a threshold are
-replaced with 'N' so downstream extraction skips them.  It is a
-behavioral stand-in, not a bit-exact tantan port — masked DBs therefore
-differ from reference DBs in low-complexity regions (classify defaults
-to mask off, so query-side parity is unaffected).
+(SeqIterator::maskLowComplexityRegions, src/commons/SeqIterator.cpp:
+154-175; mask defaults: build on, classify off — workflow/build.cpp:
+21-22, workflow/classify.cpp).  The primary masker here is a native C++
+implementation of the tantan repeat HMM (native/tantan_mask.cpp,
+Frith 2011 algorithm with the reference's fixed options); positions
+whose posterior repeat probability exceeds mask_prob become 'N' so
+downstream extraction skips them.  A vectorized DUST-style masker
+remains as a pure-python fallback when the native library is absent.
 """
 
+import ctypes
+import os
+
 import numpy as np
+
+_tantan = None
+
+
+def _load_tantan():
+    global _tantan
+    if _tantan is not None:
+        return _tantan
+    ndir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                        "..", "native"))
+    so = os.path.join(ndir, "libtantan.so")
+    src = os.path.join(ndir, "tantan_mask.cpp")
+    try:
+        if os.path.exists(src) and (
+            not os.path.exists(so)
+            or os.path.getmtime(src) > os.path.getmtime(so)
+        ):
+            import subprocess
+
+            subprocess.run(
+                ["g++", "-O3", "-Wall", "-shared", "-fPIC", "-pthread",
+                 src, "-o", so],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.tantan_mask.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.c_int64, ctypes.c_double]
+        lib.tantan_mask.restype = None
+        _tantan = lib
+    except Exception:
+        _tantan = False
+    return _tantan
+
+
+def mask_low_complexity_tantan(seq: str, mask_prob: float = 0.9):
+    """Native tantan-HMM masking; returns None if the library is absent."""
+    lib = _load_tantan()
+    if not lib:
+        return None
+    buf = np.frombuffer(seq.encode("ascii", "replace"), dtype=np.uint8).copy()
+    lib.tantan_mask(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    len(buf), float(mask_prob))
+    return buf.tobytes().decode("ascii")
 
 _WINDOW = 64
 # DUST score threshold scaled from mask_prob: higher prob -> mask less.
@@ -19,6 +65,14 @@ _BASE_THRESHOLD = 2.0
 
 
 def mask_low_complexity(seq: str, mask_prob: float = 0.9) -> str:
+    """Mask repeats: native tantan HMM if built, DUST-style otherwise."""
+    out = mask_low_complexity_tantan(seq, mask_prob)
+    if out is not None:
+        return out
+    return _mask_dust(seq, mask_prob)
+
+
+def _mask_dust(seq: str, mask_prob: float = 0.9) -> str:
     n = len(seq)
     if n < _WINDOW:
         return seq
