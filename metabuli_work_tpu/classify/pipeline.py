@@ -374,11 +374,16 @@ class Classifier:
                 pass
             lmax = r1.shape[1] + (r2.shape[1] + 3 if paired else 0)
             n_quot = lmax // int(self.taxonomer.dna_shift) + 2
+            from ..models.flagship import part_widths
+
+            part_w = part_widths(r1.shape[1], r2.shape[1], paired,
+                                 self.syncmer, self.kmer_format,
+                                 self.smer_len, win_frac)
         return {
             "dp": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
             "a1": a1, "a2": a2,
             "paths": packed_hdr, "prefix": prefix, "est": est,
-            "resident": resident, "n_quot": n_quot,
+            "resident": resident, "n_quot": n_quot, "part_w": part_w,
         }
 
 
@@ -492,7 +497,7 @@ class Classifier:
                     jnp.asarray(best_sp),
                     self.euler, self.lca_depth, self.lca_lift,
                     dna_shift=int(self.taxonomer.dna_shift),
-                    n_quot=ctx["n_quot"])
+                    n_quot=ctx["n_quot"], part_w=ctx["part_w"])
                 # the prefix here stays FULL WIDTH on purpose: the
                 # identity getitem is free, while a genuine slice
                 # program dispatched at this queue position stalls the

@@ -229,6 +229,27 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     return packed_hdr, resident
 
 
+def part_widths(lmax1, lmax2, paired, syncmer, kmer_format, smer_len,
+                win_frac):
+    """Per-read flat slot count (6 frames x compacted windows) per part.
+
+    Shared between fused_step_dp's extract and the pipeline so the
+    redundancy kernel can rebuild read ids by broadcast instead of
+    carrying [N] gather tables.
+    """
+    from ..ops.encode_jax import max_windows
+
+    dyn_gap = bool(syncmer and kmer_format == 2 and 0 < win_frac < 256)
+
+    def one(lmax):
+        W = max_windows(lmax)
+        if dyn_gap:
+            W = max(min((W * win_frac + 255) // 256, W), 1)
+        return 6 * W
+
+    return (one(lmax1), one(lmax2)) if paired else (one(lmax1),)
+
+
 def _lca_pair_lift(a, b, depth, lift):
     """Vectorized pairwise LCA via binary lifting (~2*levels gathers)."""
     levels = lift.shape[0]
@@ -248,10 +269,11 @@ def _lca_pair_lift(a, b, depth, lift):
     return jnp.where(eq, x, lift[0][x])
 
 
-@functools.partial(jax.jit, static_argnames=("dna_shift", "n_quot"))
+@functools.partial(jax.jit, static_argnames=("dna_shift", "n_quot",
+                                             "part_w"))
 def redundancy_counts(sel, species, ham, ef, q_pos, q_sids,
                       best_sp_per_read, euler, depth, lift,
-                      dna_shift: int, n_quot: int):
+                      dna_shift: int, n_quot: int, part_w: tuple = ()):
     """Phase 2 on device: best-species redundancy filter + grouped LCA.
 
     Groups each read's best-species matches by query pos // dna_shift,
@@ -271,14 +293,30 @@ def redundancy_counts(sel, species, ham, ef, q_pos, q_sids,
     I32 = jnp.int32
     cap, N = sel.shape
     B1 = best_sp_per_read.shape[0]       # B + 1
-    n_groups = (B1 - 1) * n_quot
+    B = B1 - 1
+    n_groups = B * n_quot
     BIG = jnp.int32(0x7FFFFFFF)
 
-    want = best_sp_per_read[q_sids]                       # [N]
+    if part_w and sum(part_w) * B == N:
+        # per-slot read index and best species rebuilt by broadcast
+        # (part_w = static per-mate slots per read): replaces two [N]
+        # gathers, ~1.4 ms each on v5e
+        best1 = best_sp_per_read[1:]
+        rs, ws = [], []
+        for w in part_w:
+            rs.append(jnp.broadcast_to(
+                jnp.arange(B, dtype=I32)[:, None], (B, w)).reshape(B * w))
+            ws.append(jnp.broadcast_to(
+                best1[:, None], (B, w)).reshape(B * w))
+        r0 = jnp.concatenate(rs) if len(rs) > 1 else rs[0]
+        want = jnp.concatenate(ws) if len(ws) > 1 else ws[0]
+    else:
+        r0 = q_sids - 1
+        want = best_sp_per_read[q_sids]                   # [N]
     sel2 = sel & (species == want[None, :]) & (want[None, :] > 0)
 
     quot = jnp.clip(q_pos // dna_shift, 0, n_quot - 1)
-    gidx = (q_sids - 1) * n_quot + quot                   # [N]
+    gidx = r0 * n_quot + quot                             # [N]
 
     # packed-key reduction: (hamming, euler_first) lexicographic mins in
     # ONE int32 key — ham <= 32 (6 bits) rides above a 25-bit ef, so a

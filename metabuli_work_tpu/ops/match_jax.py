@@ -70,18 +70,20 @@ def _codon_hamming(idx):
 def build_buckets(values: np.ndarray, max_bits: int = 24):
     """Host-side bucket table over the AA part of a sorted metamer array.
 
-    Returns (bucket_lo int32 [2^bits+1], aa_lo uint32 [M], shift, steps):
-    bucket b covers AA parts whose top ``40-shift`` bits equal b, so a
-    probe narrows to [bucket_lo[b], bucket_lo[b+1]) with one gather and
-    finishes with ``steps`` binary-search iterations comparing only the
-    low 32 AA bits (valid because bits >= 8).  Replaces the 22-iteration
-    jnp.searchsorted over the full array (the reference's analogue is the
-    4096-entry `split` checkpoint table, IndexCreator.cpp:811-866).
+    Returns (bucket_pair int32 [2^bits, 2], aa_lo uint32 [M], shift,
+    steps): bucket b covers AA parts whose top ``40-shift`` bits equal
+    b, so a probe narrows to [pair[b,0], pair[b,1]) with ONE row gather
+    (lo and hi ride in the same 8-byte row — gathers are latency-bound
+    per row, so the pair costs the same as one i32) and finishes with
+    ``steps`` binary-search iterations comparing only the low 32 AA
+    bits (valid because bits >= 8).  Replaces the 22-iteration
+    jnp.searchsorted over the full array (the reference's analogue is
+    the 4096-entry `split` checkpoint table, IndexCreator.cpp:811-866).
 
-    Each search iteration is one [N]-sized random gather (~2 ms/M-query
-    on v5e) while the table costs 4*2^bits bytes of HBM — so the bits
-    formula leans generous: +3 over log2(M) halves the in-bucket run
-    three times vs +1 for 4x the (cheap) table.
+    Each search iteration is one [N]-sized random gather (~1.4 ms for
+    190k queries on v5e) while the table costs 8*2^bits bytes of HBM —
+    so the bits formula leans generous: +3 over log2(M) halves the
+    in-bucket run three times vs +1 for 4x the (cheap) table.
     """
     aa = (values >> np.uint64(DNA_BITS)).astype(np.uint64)
     m = len(aa)
@@ -91,10 +93,12 @@ def build_buckets(values: np.ndarray, max_bits: int = 24):
     counts = np.bincount(b, minlength=1 << bits)
     bucket_lo = np.zeros((1 << bits) + 1, dtype=np.int32)
     np.cumsum(counts, out=bucket_lo[1:])
+    bucket_pair = np.stack([bucket_lo[:-1], bucket_lo[1:]], axis=1)
+    bucket_pair = np.ascontiguousarray(bucket_pair)
     max_run = int(counts.max()) if m else 0
     steps = max(1, int(np.ceil(np.log2(max_run + 1)))) if max_run else 1
     aa_lo = (aa & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    return bucket_lo, aa_lo, shift, steps
+    return bucket_pair, aa_lo, shift, steps
 
 
 EF_BITS = 25                 # euler_first coordinate width in the quad payload
@@ -125,10 +129,12 @@ def pack_db_quad(values: np.ndarray, euler_first: np.ndarray,
 
 def _bucket_search(q_aa, q_valid, bucket_lo, db_aa_lo, bucket_shift,
                    bucket_steps, M):
-    """Left-edge binary search: bucket gather + low-32-bit bisection."""
+    """Left-edge binary search: ONE bucket-pair row gather + low-32-bit
+    bisection.  bucket_lo is the [2^bits, 2] (lo, hi) pair table."""
     qb = (q_aa >> _U64(bucket_shift)).astype(jnp.int32)
-    lo = bucket_lo[qb]
-    hi = bucket_lo[qb + 1]
+    pair = bucket_lo[qb]                         # [N, 2] one row gather
+    lo = pair[:, 0]
+    hi = pair[:, 1]
     q_lo32 = (q_aa & _U64(0xFFFFFFFF)).astype(jnp.uint32)
     for _ in range(bucket_steps):
         active = lo < hi
