@@ -135,8 +135,13 @@ def apply_groups(groups_path, map_path, tax_source, org_results_path, out_dir,
             else:
                 internal = tax.to_internal(taxid) if taxid else 0
             gcol = str(gid) if gid else "-"
+            # column layout mirrors Reporter::writeReadClassification with
+            # a group column (Reporter.cpp:85-140): the rebuilt Query rows
+            # carry no length/taxCnt (GroupApplier.cpp:203-215), so
+            # classified rows end after the group column and unclassified
+            # rows carry the '-' taxCnt placeholder
             if internal:
-                f.write(f"1\t{name}\t{tax.orig_of(internal)}\t0\t{score:g}\t{tax.rank_of(internal)}\t{gcol}\t-\t\n")
+                f.write(f"1\t{name}\t{tax.orig_of(internal)}\t0\t{score:g}\t{tax.rank_of(internal)}\t{gcol}\t\n")
             else:
                 f.write(f"0\t{name}\t0\t0\t{score:g}\t-\t{gcol}\t-\t\n")
     print(f"apply-group: {len(group_info)} groups, results -> {out_path}")

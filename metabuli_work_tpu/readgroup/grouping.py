@@ -188,9 +188,20 @@ def make_groups(id1, id2, w, n_reads, keep_mask):
 def run_grouping(reads_path, common_db_dir, out_dir, params: GroupingParams,
                  reads_path2=None):
     os.makedirs(out_dir, exist_ok=True)
-    # load common-kmer DB values (sorted u64)
-    common_path = os.path.join(common_db_dir, "kmers.npy")
-    common_values = np.load(common_path) if os.path.exists(common_path) else np.zeros(0, np.uint64)
+    # load common-kmer DB values (sorted u64); "-" skips the filter
+    # explicitly — a missing DB directory is an error, not an empty
+    # filter (silently ungated grouping would connect reads through
+    # cross-species k-mers)
+    if common_db_dir == "-":
+        common_values = np.zeros(0, np.uint64)
+    else:
+        common_path = os.path.join(common_db_dir, "kmers.npy")
+        if not os.path.exists(common_path):
+            raise FileNotFoundError(
+                f"common-kmer DB not found: {common_path} "
+                "(build one with create-common-kmer-list, or pass '-' "
+                "to skip common-kmer filtering)")
+        common_values = np.load(common_path)
 
     seqs = [rec.seq for rec in read_seq_file(reads_path)]
     if reads_path2 and params.seq_mode == 2:
