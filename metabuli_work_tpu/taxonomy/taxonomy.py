@@ -260,21 +260,42 @@ class Taxonomy:
         return acc
 
     def lca_reduce(self, values, segment_ids, num_segments):
-        """Vectorized grouped LCA: fold lca_pair log2(max group) times."""
+        """Vectorized grouped LCA in one pass.
+
+        The LCA of a SET equals the pairwise LCA of its two extremal
+        members by Euler-tour first-visit position (same trick as the
+        device redundancy kernel), so per segment only the min/max
+        euler_first are needed — two ufunc.reduceat passes plus one
+        vectorized lca_pair, instead of folding max-group-size rounds.
+        Zero/invalid ids are ignored (reference LCA(x, 0) = x).
+        """
         values = np.asarray(values, dtype=np.int64)
         segment_ids = np.asarray(segment_ids, dtype=np.int64)
         out = np.zeros(num_segments, dtype=np.int64)
-        order = np.argsort(segment_ids, kind="stable")
-        v = values[order]
-        s = segment_ids[order]
-        while len(v):
-            firsts = np.ones(len(s), dtype=bool)
-            firsts[1:] = s[1:] != s[:-1]
-            out_new = np.where(out[s[firsts]] == 0, v[firsts],
-                               self.lca_pair(out[s[firsts]], v[firsts]))
-            out[s[firsts]] = out_new
-            v = v[~firsts]
-            s = s[~firsts]
+        ok = (values > 0) & (values < len(self.parent))
+        v = values[ok]
+        s = segment_ids[ok]
+        if not len(v):
+            return out
+        order = np.argsort(s, kind="stable")
+        v = v[order]
+        s = s[order]
+        firsts = np.ones(len(s), dtype=bool)
+        firsts[1:] = s[1:] != s[:-1]
+        starts = np.nonzero(firsts)[0]
+        sizes = np.diff(np.append(starts, len(s)))
+        seg = s[starts]
+        # singletons (the vast majority at DB build) are their own LCA
+        single = sizes == 1
+        out[seg[single]] = v[starts[single]]
+        multi = ~single
+        if multi.any():
+            ef = self.euler_first[v]
+            ef_min = np.minimum.reduceat(ef, starts)[multi]
+            ef_max = np.maximum.reduceat(ef, starts)[multi]
+            a = self.euler[ef_min].astype(np.int64)
+            b = self.euler[ef_max].astype(np.int64)
+            out[seg[multi]] = self.lca_pair(a, b)
         return out
 
     def is_ancestor(self, anc, node):
