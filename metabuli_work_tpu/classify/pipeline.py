@@ -175,6 +175,19 @@ class Classifier:
         self.use_device_dp = p.min_cons_cnt >= 2 and p.min_cons_cnt_euk >= 2
         if not self.use_device_dp:
             return
+        # fused Pallas DP kernel (ops/dp_pallas.py) on real TPU backends;
+        # the XLA flow stays the default on CPU (the interpret-mode kernel
+        # is orders of magnitude slower than compiled XLA there).
+        # METABULI_DP_PALLAS=0/1 forces either path (1 on CPU implies
+        # interpret mode — integration tests use this).
+        import os
+
+        import jax as _jax
+
+        env = os.environ.get("METABULI_DP_PALLAS")
+        on_tpu = _jax.default_backend() not in ("cpu",)
+        self._dp_pallas = on_tpu if env is None else env == "1"
+        self._pallas_interpret = self._dp_pallas and not on_tpu
         n = self.taxonomy.num_nodes()
         euk = self.taxonomy.eukaryota_id()
         if euk:
@@ -363,6 +376,8 @@ class Classifier:
                 bucket_shift=self.bucket_shift, bucket_steps=self.bucket_steps,
                 path_width=path_width, win_frac=win_frac,
                 path_block=path_block,
+                dp_pallas=getattr(self, "_dp_pallas", False),
+                pallas_interpret=getattr(self, "_pallas_interpret", False),
             )
             # column 0 is the stats header; one async copy carries both
             # the stats and the estimated path prefix home

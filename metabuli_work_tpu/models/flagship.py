@@ -85,7 +85,7 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
 @functools.partial(jax.jit, static_argnames=(
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
     "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
-    "path_block"))
+    "path_block", "dp_pallas", "pallas_interpret"))
 def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   min_cons_euk: int = 9,
                   cap: int = 16, kmer_format: int = 2,
@@ -94,7 +94,8 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   bucket_lo=None, db_aa_lo=None,
                   bucket_shift: int = 0, bucket_steps: int = 0,
                   path_width: int = 0, win_frac: int = 0,
-                  path_block: int = 16, ra1=None, ra2=None):
+                  path_block: int = 16, ra1=None, ra2=None,
+                  dp_pallas: bool = False, pallas_interpret: bool = False):
     """Full device pipeline WITH on-device path DP.
 
     extract (+mate2) -> probe -> per-window candidate sort -> path DP ->
@@ -198,16 +199,36 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
             "pos": jnp.broadcast_to(qp[sl].reshape(1, B * F, W),
                                     (cap, B * F, W)),
         }
-        fields = dp_jax.sort_candidates(fields, fields["sel"], fields["ham"],
-                                        fields["dna"])
-        md = jnp.where((fields["species"] >> 30) & 1 != 0,
-                       jnp.int32(min_cons_euk), jnp.int32(min_cons))
-        dp = dp_jax.path_dp(fields["sel"], fields["species"], fields["dna"],
-                            fields["rh"], fields["ham"], fields["pos"], md,
-                            max_shift=max_shift, kmer_format=kmer_format,
-                            dyn_gap=dyn_gap)
-        cols, psel, b_over = dp_jax.pack_paths_blocked(dp, path_block,
-                                                       compact5=compact5)
+        if dp_pallas:
+            from ..ops import dp_pallas as dpp
+
+            # the pallas kernel ranks candidates internally but expects
+            # the flip (positions ascending per lane) done by the caller
+            frame_ids = jnp.arange(B * F, dtype=jnp.int32) % 6
+            rev_g = ((frame_ids >= 3) if kmer_format != 1
+                     else (frame_ids < 3))[None, :, None]
+            fl = lambda a: jnp.where(rev_g, a[:, :, ::-1], a)
+            sp_m = jnp.where(fl(fields["sel"]), fl(fields["species"]),
+                             jnp.int32(-1))
+            cols, psel, b_over = dpp.path_dp_blocked(
+                sp_m, fl(fields["dna"]), fl(fields["rh"]),
+                fl(fields["ham"]), fl(fields["pos"]),
+                min_cons=min_cons, min_cons_euk=min_cons_euk,
+                max_shift=max_shift, kmer_format=kmer_format,
+                dyn_gap=dyn_gap, block_w=path_block, compact5=compact5,
+                interpret=pallas_interpret)
+        else:
+            fields = dp_jax.sort_candidates(fields, fields["sel"],
+                                            fields["ham"], fields["dna"])
+            md = jnp.where((fields["species"] >> 30) & 1 != 0,
+                           jnp.int32(min_cons_euk), jnp.int32(min_cons))
+            dp = dp_jax.path_dp(fields["sel"], fields["species"],
+                                fields["dna"], fields["rh"], fields["ham"],
+                                fields["pos"], md,
+                                max_shift=max_shift, kmer_format=kmer_format,
+                                dyn_gap=dyn_gap)
+            cols, psel, b_over = dp_jax.pack_paths_blocked(
+                dp, path_block, compact5=compact5)
         blk_over = blk_over + b_over
         packed_parts.append(cols)
         sel_parts.append(psel)

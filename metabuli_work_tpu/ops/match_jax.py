@@ -157,6 +157,7 @@ def match_kmers_quad(
     db_aa_lo=None,
     bucket_shift: int = 0,
     bucket_steps: int = 0,
+    lo_override=None,
 ):
     """Probe a u32-quad-packed DB (see pack_db_quad) — cap-MAJOR layout.
 
@@ -165,12 +166,18 @@ def match_kmers_quad(
     two-u32 compare against the gathered value halves.  Returns the same
     dict as match_kmers_cm with "taxid" = euler_first coordinates and
     "species" = species-with-euk-bit (the fused DP step's payloads).
+
+    lo_override: precomputed left edges (callers that find run starts
+    their own way, e.g. the run-count search) — skips _bucket_search.
     """
     U32 = jnp.uint32
     M = db_quad.shape[0]
     q_aa = q_kmers >> _U64(DNA_BITS)
-    lo = _bucket_search(q_aa, q_valid, bucket_lo, db_aa_lo, bucket_shift,
-                        bucket_steps, M)
+    if lo_override is not None:
+        lo = lo_override
+    else:
+        lo = _bucket_search(q_aa, q_valid, bucket_lo, db_aa_lo, bucket_shift,
+                            bucket_steps, M)
 
     offs = jnp.arange(cap + 1, dtype=jnp.int32)[:, None]
     pos = lo[None, :] + offs
