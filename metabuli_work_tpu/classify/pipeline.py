@@ -216,6 +216,16 @@ class Classifier:
         self.db_quad = jnp.asarray(pack_db_quad(self.index.values, db_ef,
                                                 sp_euk))
         self.euler = jnp.asarray(self.taxonomy.euler.astype(np.int32))
+        # node -> euler-first coordinate, for the on-device tied-set LCA
+        # (ops/assign_jax.device_assign)
+        self.ef_node = jnp.asarray(ef.astype(np.int32))
+        # device-assign flow: score species + pick classifications on
+        # device so only [6, B+1] records cross the link (assign_jax).
+        # EM needs per-read (species, score) lists -> host flow.
+        env_da = os.environ.get("METABULI_DEVICE_ASSIGN")
+        self._device_assign = (env_da != "0" if env_da is not None
+                               else True) and not p.em
+        self._combine_k = 8
 
     # ------------------------------------------------------------------ #
     def _read_batches(self, path1, path2=None) -> Iterator[tuple]:
@@ -301,10 +311,14 @@ class Classifier:
     # -- async halves: dispatch launches device work, finish pulls + scores
     def _dispatch_batch(self, names, a1, l1, a2=None, l2=None, cap=None):
         if self.use_device_dp:
+            if getattr(self, "_device_assign", False):
+                return self._dispatch_batch_full(names, a1, l1, a2, l2, cap)
             return self._dispatch_batch_dp(names, a1, l1, a2, l2, cap)
         return self._dispatch_batch_host(names, a1, l1, a2, l2, cap)
 
     def _finish_batch(self, ctx):
+        if ctx.get("full"):
+            return self._finish_full_phase2(self._finish_full_phase1(ctx))
         if ctx.get("dp"):
             return self._finish_batch_dp(ctx)
         return self._finish_batch_host(ctx)
@@ -568,14 +582,163 @@ class Classifier:
             out.append(qr)
         return out
 
+    # ------------------------------------------------------------------ #
+    # device-assign flow (fused step + species assign + redundancy in ONE
+    # device program; host only decodes per-read records)
+    def _dispatch_batch_full(self, names, a1, l1, a2=None, l2=None, cap=None,
+                             path_width=None, win_frac=None, path_block=None,
+                             combine_k=None):
+        from ..models.flagship import fused_step_full, part_widths
+
+        B = len(names)
+        cap = cap or self.cap
+        path_width = path_width or self._path_width
+        win_frac = win_frac or self._win_frac
+        path_block = path_block or self._path_block
+        combine_k = combine_k or self._combine_k
+        with self.timer.stage("dispatch"):
+            r1, j1, r2, j2, l1, l2, paired, ra1, ra2 = \
+                self._prep_arrays(a1, l1, a2, l2, B)
+            lmax = r1.shape[1] + (r2.shape[1] + 3 if paired else 0)
+            n_quot = lmax // int(self.taxonomer.dna_shift) + 2
+            part_w = part_widths(r1.shape[1], r2.shape[1], paired,
+                                 self.syncmer, self.kmer_format,
+                                 self.smer_len, win_frac)
+            records, packed2 = fused_step_full(
+                r1, j1, r2, j2, self.db_quad,
+                self.ef_node, self.euler, self.lca_depth, self.lca_lift,
+                ra1=ra1, ra2=ra2,
+                min_cons=int(self.params.min_cons_cnt),
+                min_cons_euk=int(self.params.min_cons_cnt_euk),
+                cap=cap, kmer_format=self.kmer_format,
+                syncmer=self.syncmer, smer_len=self.smer_len, paired=paired,
+                bucket_lo=self.bucket_lo, db_aa_lo=self.db_aa_lo,
+                bucket_shift=self.bucket_shift, bucket_steps=self.bucket_steps,
+                path_width=path_width, win_frac=win_frac,
+                path_block=path_block,
+                dp_pallas=getattr(self, "_dp_pallas", False),
+                pallas_interpret=getattr(self, "_pallas_interpret", False),
+                min_score=float(self.params.min_score),
+                tie_ratio=float(self.params.tie_ratio),
+                combine_k=combine_k, dna_shift=int(self.taxonomer.dna_shift),
+                n_quot=n_quot, part_w=part_w)
+            for arr in (records, packed2):
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass
+        return {
+            "full": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
+            "a1": a1, "a2": a2, "path_width": path_width,
+            "records": records, "pairs": packed2,
+        }
+
+    def _finish_full_phase1(self, ctx):
+        """Fetch + decode the per-read record table; run the overflow
+        retry protocol (same knobs as the host-scoring flow)."""
+        from .taxonomer import ReadResult as RR
+
+        with self.timer.stage("hdr_sync"):
+            rec = np.asarray(ctx["records"])     # ONE blocking fetch
+            st = rec[:5, 0]
+        if int(st[2]) > 0:                       # window compaction
+            self._win_frac = min(self._win_frac + 24, 256)
+            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
+                                            ctx["l1"], ctx["a2"], ctx["l2"],
+                                            cap=ctx["cap"], win_frac=256)
+            rec = np.asarray(ctx["records"])
+            st = rec[:5, 0]
+        while int(st[0]) > 0 and ctx["cap"] < self.index.max_aa_run():
+            cap = min(ctx["cap"] * 2, self.index.max_aa_run())
+            self.cap = max(self.cap, cap)
+            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
+                                            ctx["l1"], ctx["a2"], ctx["l2"],
+                                            cap=cap)
+            rec = np.asarray(ctx["records"])
+            st = rec[:5, 0]
+        while int(st[3]) > 0:                    # blocked-packer lanes
+            self._path_block *= 2
+            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
+                                            ctx["l1"], ctx["a2"], ctx["l2"],
+                                            cap=ctx["cap"],
+                                            path_block=self._path_block)
+            rec = np.asarray(ctx["records"])
+            st = rec[:5, 0]
+        while int(st[1]) > ctx["path_width"]:    # path compaction width
+            self._path_width = max(self._path_width, ctx["path_width"]) * 2
+            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
+                                            ctx["l1"], ctx["a2"], ctx["l2"],
+                                            cap=ctx["cap"],
+                                            path_width=self._path_width)
+            rec = np.asarray(ctx["records"])
+            st = rec[:5, 0]
+        while int(st[4]) > 0:                    # combine_k run overflow
+            self._combine_k *= 2
+            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
+                                            ctx["l1"], ctx["a2"], ctx["l2"],
+                                            cap=ctx["cap"],
+                                            combine_k=self._combine_k)
+            rec = np.asarray(ctx["records"])
+            st = rec[:5, 0]
+
+        names, l1, l2 = ctx["names"], ctx["l1"], ctx["l2"]
+        B = len(names)
+        lens1 = np.asarray(l1)
+        lens2 = np.asarray(l2) if l2 is not None else np.zeros(B, np.int32)
+        qlens = np.zeros(B + 1, dtype=np.int64)
+        qlens[1:] = lens1 + lens2
+
+        with self.timer.stage("score"):
+            live = rec[0, 1:]
+            tie = rec[1, 1:]
+            tot = rec[2, 1:].astype(np.int32).view(np.float32)
+            lca = rec[3, 1:]
+            ft = rec[4, 1:]
+            top = rec[5, 1:]
+            ms = float(self.params.min_score)   # f64 compare, like the
+            results = [RR() for _ in range(B)]  # host-scoring flow
+            deferred = []
+            for i in np.nonzero(live)[0]:
+                res = results[i]
+                res.species_scores = ()
+                res.top_species = int(top[i])
+                if tie[i] > 1:
+                    sc_avg = tot[i] / np.float32(int(tie[i]))
+                    res.score = float(sc_avg)
+                    if sc_avg == 0 or sc_avg < ms:
+                        continue
+                    res.is_classified = True
+                    res.classification = int(lca[i])
+                    continue
+                score = tot[i]
+                if score == 0 or score < ms:
+                    res.score = float(score)
+                    continue
+                deferred.append((int(i + 1), int(qlens[i + 1]), score,
+                                 int(ft[i])))
+
+        return {"names": names, "lens1": lens1, "lens2": lens2,
+                "results": results, "deferred": deferred, "qlens": qlens,
+                "pairs": ctx["pairs"], "prefix2": ctx["pairs"],
+                "est2": ctx["pairs"].shape[1] - 1}
+
+    def _finish_full_phase2(self, ctx):
+        # identical pair decode + finish as the host-scoring flow
+        return self._finish_dp_phase2(ctx)
+
     def _finish_partial(self, ctx):
         """Phase-1 finish for the 2-deep pipeline (host path: full finish)."""
+        if ctx.get("full"):
+            return {"dp2": True, "full": True,
+                    "ctx": self._finish_full_phase1(ctx)}
         if ctx.get("dp"):
             return {"dp2": True, "ctx": self._finish_dp_phase1(ctx)}
         return {"dp2": False, "results": self._finish_batch_host(ctx)}
 
     def _finish_complete(self, part):
         if part["dp2"]:
+            if part.get("full"):
+                return self._finish_full_phase2(part["ctx"])
             return self._finish_dp_phase2(part["ctx"])
         return part["results"]
 

@@ -82,11 +82,7 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
     return packed, count, out["overflow"]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
-    "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
-    "path_block", "dp_pallas", "pallas_interpret"))
-def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
+def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   min_cons_euk: int = 9,
                   cap: int = 16, kmer_format: int = 2,
                   syncmer: bool = False, smer_len: int = 5,
@@ -239,15 +235,104 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                                                        out_width=path_width)
 
     resident = (out["sel"], sp_clean, out["hamming"], out["taxid"], qp, qs)
-    # stats ride home as HEADER COLUMN 0 of the packed array: the host
-    # then needs ONE blocking fetch per batch (stats + path prefix
-    # together) — each separate np.asarray costs a full tunnel
-    # round-trip (~1.5 ms) plus a queue stall
     stats = jnp.stack([out["overflow"], paths_count, win_over, blk_over])
+    return stats, paths_packed, resident
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
+    "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
+    "path_block", "dp_pallas", "pallas_interpret"))
+def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
+                  min_cons_euk: int = 9,
+                  cap: int = 16, kmer_format: int = 2,
+                  syncmer: bool = False, smer_len: int = 5,
+                  paired: bool = False,
+                  bucket_lo=None, db_aa_lo=None,
+                  bucket_shift: int = 0, bucket_steps: int = 0,
+                  path_width: int = 0, win_frac: int = 0,
+                  path_block: int = 16, ra1=None, ra2=None,
+                  dp_pallas: bool = False, pallas_interpret: bool = False):
+    """Host-scoring variant: see _fused_core.  Returns (packed_hdr,
+    resident) — column 0 of packed_hdr is the stats header (rows 0-3 =
+    candidate-cap overflow, path count, window-compaction overflow,
+    blocked-packer lane overflow), columns 1..P the compacted paths.
+    stats ride home as HEADER COLUMN 0 of the packed array: the host
+    then needs ONE blocking fetch per batch (stats + path prefix
+    together) — each separate np.asarray costs a full tunnel
+    round-trip (~1.5 ms) plus a queue stall."""
+    stats, paths_packed, resident = _fused_core(
+        reads1, lens1, reads2, lens2, db_quad, min_cons=min_cons,
+        min_cons_euk=min_cons_euk, cap=cap, kmer_format=kmer_format,
+        syncmer=syncmer, smer_len=smer_len, paired=paired,
+        bucket_lo=bucket_lo, db_aa_lo=db_aa_lo, bucket_shift=bucket_shift,
+        bucket_steps=bucket_steps, path_width=path_width, win_frac=win_frac,
+        path_block=path_block, ra1=ra1, ra2=ra2, dp_pallas=dp_pallas,
+        pallas_interpret=pallas_interpret)
     hdr = jnp.zeros((paths_packed.shape[0], 1), jnp.int32)
     hdr = hdr.at[:4, 0].set(stats)
     packed_hdr = jnp.concatenate([hdr, paths_packed], axis=1)
     return packed_hdr, resident
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
+    "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
+    "path_block", "dp_pallas", "pallas_interpret",
+    "min_score", "tie_ratio", "combine_k", "dna_shift", "n_quot", "part_w"))
+def fused_step_full(reads1, lens1, reads2, lens2, db_quad,
+                    ef_node, euler, depth, lift,
+                    min_cons: int = 4, min_cons_euk: int = 9,
+                    cap: int = 16, kmer_format: int = 2,
+                    syncmer: bool = False, smer_len: int = 5,
+                    paired: bool = False,
+                    bucket_lo=None, db_aa_lo=None,
+                    bucket_shift: int = 0, bucket_steps: int = 0,
+                    path_width: int = 0, win_frac: int = 0,
+                    path_block: int = 16, ra1=None, ra2=None,
+                    dp_pallas: bool = False, pallas_interpret: bool = False,
+                    min_score: float = 0.0, tie_ratio: float = 0.95,
+                    combine_k: int = 8, dna_shift: int = 0, n_quot: int = 0,
+                    part_w: tuple = ()):
+    """Whole-batch device chain: fused step + species assign + redundancy.
+
+    Device->host traffic shrinks from the full path array (~0.5 MB) to
+    one [6, B+1] record table + the redundancy pair list (the tunnel
+    link is the pipeline bottleneck — see ops/assign_jax.py).
+
+    Returns (records, packed2): records rows = (live, tie_cnt, total
+    f32 bits, tied LCA, first tied species, top species) per 1-based
+    read column; column 0 rows 0-4 hold the stats header (candidate-cap
+    overflow, path count, window overflow, block overflow, combine_k
+    overflow).  packed2 = redundancy_counts' (rid, lca) pair columns
+    with its own stats column 0.
+    """
+    from ..ops import assign_jax
+
+    stats, paths_packed, resident = _fused_core(
+        reads1, lens1, reads2, lens2, db_quad, min_cons=min_cons,
+        min_cons_euk=min_cons_euk, cap=cap, kmer_format=kmer_format,
+        syncmer=syncmer, smer_len=smer_len, paired=paired,
+        bucket_lo=bucket_lo, db_aa_lo=db_aa_lo, bucket_shift=bucket_shift,
+        bucket_steps=bucket_steps, path_width=path_width, win_frac=win_frac,
+        path_block=path_block, ra1=ra1, ra2=ra2, dp_pallas=dp_pallas,
+        pallas_interpret=pallas_interpret)
+
+    B = reads1.shape[0]
+    qlens = jnp.zeros(B + 1, jnp.int32)
+    qlens = qlens.at[1:].set(lens1 + (lens2 if paired else 0))
+    records, best_sp, over_k = assign_jax.device_assign(
+        paths_packed, stats[1], qlens, ef_node, euler, depth, lift,
+        min_score=min_score, tie_ratio=tie_ratio, combine_k=combine_k)
+    records = records.at[:5, 0].set(
+        jnp.concatenate([stats, over_k[None]]))
+
+    sel, species, ham, ef, q_pos, q_sids = resident
+    packed2 = _redundancy_core(sel, species, ham, ef, q_pos, q_sids,
+                               best_sp, euler, depth, lift,
+                               dna_shift=dna_shift, n_quot=n_quot,
+                               part_w=part_w)
+    return records, packed2
 
 
 def part_widths(lmax1, lmax2, paired, syncmer, kmer_format, smer_len,
@@ -295,6 +380,17 @@ def _lca_pair_lift(a, b, depth, lift):
 def redundancy_counts(sel, species, ham, ef, q_pos, q_sids,
                       best_sp_per_read, euler, depth, lift,
                       dna_shift: int, n_quot: int, part_w: tuple = ()):
+    """Jitted standalone wrapper of _redundancy_core (used when the host
+    computes best_sp; fused_step_full inlines the core instead)."""
+    return _redundancy_core(sel, species, ham, ef, q_pos, q_sids,
+                            best_sp_per_read, euler, depth, lift,
+                            dna_shift=dna_shift, n_quot=n_quot,
+                            part_w=part_w)
+
+
+def _redundancy_core(sel, species, ham, ef, q_pos, q_sids,
+                     best_sp_per_read, euler, depth, lift,
+                     dna_shift: int, n_quot: int, part_w: tuple = ()):
     """Phase 2 on device: best-species redundancy filter + grouped LCA.
 
     Groups each read's best-species matches by query pos // dna_shift,
