@@ -221,10 +221,16 @@ class Classifier:
         self.ef_node = jnp.asarray(ef.astype(np.int32))
         # device-assign flow: score species + pick classifications on
         # device so only [6, B+1] records cross the link (assign_jax).
-        # EM needs per-read (species, score) lists -> host flow.
+        # Default OFF: on a single chip the deep pipeline fully hides the
+        # host scoring and the D2H path fetch behind device compute
+        # (measured: old flow wall 29 ms/batch == its device time), so
+        # the assign stage's ~10-15 ms of extra device work is a pure
+        # regression (35.1k -> 21.3k reads/s on the tunnel bench).  It
+        # pays off when the HOST is the bound — several chips per host,
+        # or heavy host-side IO — set METABULI_DEVICE_ASSIGN=1 there.
+        # EM needs per-read (species, score) lists -> host flow always.
         env_da = os.environ.get("METABULI_DEVICE_ASSIGN")
-        self._device_assign = (env_da != "0" if env_da is not None
-                               else True) and not p.em
+        self._device_assign = (env_da == "1") and not p.em
         self._combine_k = 8
 
     # ------------------------------------------------------------------ #

@@ -13,9 +13,9 @@ paths on device shrinks the transfer to one [6, B+1] int32 record table
 
 Bit-identity contract (pinned by tests/test_assign_device.py):
 * per-(read, species) run order = the host's packed-key stable argsort
-  by (qid, species, frame, end) — reproduced by a 4-key lexicographic
-  lax.sort whose final key is the flat compaction index (the host
-  argsort's stability tiebreak);
+  by (qid, species, frame, end) — reproduced by a multi-key
+  lexicographic lax.sort whose final key is the flat compaction index
+  (the host argsort's stability tiebreak);
 * within-run combine order = stable sort by (-score, hamming, -start)
   (float(p.score) is an exact f32->f64 cast, so descending f32 bit
   order is identical);
@@ -36,7 +36,6 @@ import jax.numpy as jnp
 I32 = jnp.int32
 F32 = jnp.float32
 U32 = jnp.uint32
-U64 = jnp.uint64
 
 
 def _part_score(rh, rng, left: bool):
@@ -65,19 +64,25 @@ def _combine_runs(cs0, ce0, sc0, rhs0, rhe0, vrk, K: int):
     col = lambda a, k: jax.lax.dynamic_index_in_dim(a, k, axis=1,
                                                     keepdims=False)
 
-    # both loops are lax.fori_loops (not Python unrolls): the K^2/2
-    # trim blocks trace once, keeping compile time flat in K
+    # ONE dynamic fori over candidate rank k (bounded by the batch's
+    # actual max run length), with the kept-slot walk UNROLLED inside
+    # the body: sequential while-loop iterations cost ~10-50 us each on
+    # TPU regardless of op size, so the K^2/2-iteration nested-loop
+    # formulation costs ~20 ms/batch once combine_k grows; straight-line
+    # masked trim blocks inside one iteration are nearly free
     def outer(k, st):
         kept_s, kept_e, kept_n, total = st
-        cand0 = (col(cs0, k), col(ce0, k), col(sc0, k), vrk[:, k])
+        cs_k = col(cs0, k)
+        ce_k = col(ce0, k)
+        sc_k = col(sc0, k)
+        alive = col(vrk.astype(I32), k) != 0
         rhs_k = col(rhs0, k)
         rhe_k = col(rhe0, k)
 
-        def inner(j, cand):
-            cs_k, ce_k, sc_k, alive = cand
-            cj_ok = alive & (j < kept_n)
-            cs = col(kept_s, j)
-            ce = col(kept_e, j)
+        for j in range(K):                    # unrolled, masked by j < k
+            cj_ok = alive & (j < k) & (j < kept_n)
+            cs = kept_s[:, j]
+            ce = kept_e[:, j]
             inter = cj_ok & ~(ce_k < cs) & ~(ce < cs_k)
             ov = jnp.minimum(ce_k, ce) - jnp.maximum(cs_k, cs) + 1
             full = inter & (ov == ce_k - cs_k + 1)
@@ -92,9 +97,7 @@ def _combine_runs(cs0, ce0, sc0, rhs0, rhe0, vrk, K: int):
             sc_k = jnp.where(trim, (sc_k - part) - tail, sc_k)
             ce_k = jnp.where(trim & left_side, cs - 1, ce_k)
             cs_k = jnp.where(trim & ~left_side, ce + 1, cs_k)
-            return cs_k, ce_k, sc_k, alive
 
-        cs_k, ce_k, sc_k, alive = jax.lax.fori_loop(0, k, inner, cand0)
         oh = (slot_i == kept_n[:, None]) & alive[:, None]
         kept_s = jnp.where(oh, cs_k[:, None], kept_s)
         kept_e = jnp.where(oh, ce_k[:, None], kept_e)
@@ -102,9 +105,10 @@ def _combine_runs(cs0, ce0, sc0, rhs0, rhe0, vrk, K: int):
         total = jnp.where(alive, total + sc_k, total)
         return kept_s, kept_e, kept_n, total
 
+    kmax = jnp.max(jnp.where(vrk, slot_i, 0)).astype(I32) + 1
     init = (jnp.zeros((R, K), I32), jnp.zeros((R, K), I32),
             jnp.zeros(R, I32), jnp.zeros(R, F32))
-    _, _, _, total = jax.lax.fori_loop(0, K, outer, init)
+    _, _, _, total = jax.lax.fori_loop(0, jnp.minimum(kmax, K), outer, init)
     return total
 
 
@@ -132,7 +136,6 @@ def device_assign(paths_packed, n_paths, qlens, ef_node, euler, depth, lift,
     B1 = qlens.shape[0]
     K = combine_k
     BIGI = jnp.int32(0x7FFFFFFF)
-    MAXU = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
     u0 = paths_packed[0].astype(U32)
     g = (u0 >> U32(16)).astype(I32)
@@ -150,33 +153,54 @@ def device_assign(paths_packed, n_paths, qlens, ef_node, euler, depth, lift,
     iota = jnp.arange(P, dtype=I32)
     valid = iota < n_paths
 
-    # ---- one 4-key sort = host (qid, species, frame, end) argsort +
-    # per-run stable (-score, ham, -start) combine sort --------------- #
-    key1 = jnp.where(valid,
-                     (qid.astype(U64) << U64(25)) | sp.astype(U64), MAXU)
-    key2 = ((BIGI - sb).astype(U64) << U64(32)) \
-        | (ham.astype(U64) << U64(16)) \
-        | (0xFFFF - start).astype(U64)
-    key3 = (frame << 16) | end
-    _, _, _, perm = jax.lax.sort((key1, key2, key3, iota), num_keys=4)
+    # ---- one 6-key sort = host (qid, species, frame, end) argsort +
+    # per-run stable (-score, ham, -start) combine sort.  All keys are
+    # native i32 — u64 keys sort ~5x slower (emulated compares) ------- #
+    k_qid = jnp.where(valid, qid, BIGI)
+    k_sc = BIGI - sb                           # descending f32 bit order
+    k_hs = (ham << 16) | (0xFFFF - start)      # ham asc, start desc
+    k_fe = (frame << 16) | end                 # host insertion tiebreak
+    _, _, _, _, _, perm = jax.lax.sort(
+        (k_qid, sp, k_sc, k_hs, k_fe, iota), num_keys=6)
     take = lambda a: a[perm]
-    qid_s, sp_s, cs_s, ce_s, sb_s, rhs_s, rhe_s, k1_s = map(
-        take, (qid, sp, start, end, sb, rhs, rhe, key1))
+    qid_s, sp_s, cs_s, ce_s, sb_s, rhs_s, rhe_s, kq_s = map(
+        take, (qid, sp, start, end, sb, rhs, rhe, k_qid))
     valid_s = iota < n_paths                   # invalids sort to the end
 
-    new_run = valid_s & ((iota == 0) | (k1_s != jnp.roll(k1_s, 1)))
+    # run boundary: (qid, species) change — two i32 compares, no u64 key
+    new_run = valid_s & ((iota == 0) | (kq_s != jnp.roll(kq_s, 1))
+                         | (sp_s != jnp.roll(sp_s, 1)))
     run_id = jnp.cumsum(new_run.astype(I32)) - 1
     seg_start = jax.lax.cummax(jnp.where(new_run, iota, 0))
     k_in = iota - seg_start
     over_k = jnp.sum(valid_s & (k_in >= K), dtype=I32)
 
-    # ---- pack runs to [P, K] ---------------------------------------- #
-    OOB = P * K
-    dest = jnp.where(valid_s & (k_in < K), run_id * K + k_in, OOB)
+    # ---- run-space arrays (indexed by run_id, width P) --------------- #
+    dest0 = jnp.where(new_run, run_id, P)
+    sp_run = jnp.zeros(P, I32).at[dest0].set(sp_s, mode="drop")
+    qid_run = jnp.zeros(P, I32).at[dest0].set(qid_s, mode="drop")
+    pos_run = jnp.zeros(P, I32).at[dest0].set(iota, mode="drop")
+    sc1_run = jnp.zeros(P, I32).at[dest0].set(sb_s, mode="drop")
+    v_run = jnp.zeros(P, I32).at[dest0].set(1, mode="drop") != 0
 
-    def pack(a, pad_shape=(P, K)):
-        return jnp.zeros(P * K, a.dtype).at[dest].set(
-            a, mode="drop").reshape(pad_shape)
+    # ---- multi-path runs only go through the combine loop ------------ #
+    # single-path runs (the vast majority) need no greedy: total = score.
+    # Multi-path runs are compacted into an R2 = P // 2 row space (every
+    # such run holds >= 2 paths, so their count can never exceed P // 2),
+    # shrinking every [rows, K] tensor the sequential loop touches.
+    R2 = max(P // 2, 1)
+    ge2_run = jnp.zeros(P, I32).at[
+        jnp.where(valid_s & (k_in == 1), run_id, P)].set(1, mode="drop")
+    multi_id_run = jnp.cumsum(ge2_run) - 1          # run space -> R2 space
+    row_multi = ge2_run[jnp.clip(run_id, 0, P - 1)] != 0
+    OOB = R2 * K
+    dest = jnp.where(valid_s & row_multi & (k_in < K),
+                     multi_id_run[jnp.clip(run_id, 0, P - 1)] * K + k_in,
+                     OOB)
+
+    def pack(a):
+        return jnp.zeros(R2 * K, a.dtype).at[dest].set(
+            a, mode="drop").reshape(R2, K)
 
     cs_rk = pack(cs_s)
     ce_rk = pack(ce_s)
@@ -185,13 +209,11 @@ def device_assign(paths_packed, n_paths, qlens, ef_node, euler, depth, lift,
     rhe_rk = pack(rhe_s)
     v_rk = pack(valid_s.astype(I32)) != 0
 
-    dest0 = jnp.where(new_run, run_id, OOB)
-    sp_run = jnp.zeros(P, I32).at[dest0].set(sp_s, mode="drop")
-    qid_run = jnp.zeros(P, I32).at[dest0].set(qid_s, mode="drop")
-    pos_run = jnp.zeros(P, I32).at[dest0].set(iota, mode="drop")
-    v_run = jnp.zeros(P, I32).at[dest0].set(1, mode="drop") != 0
-
-    total_run = _combine_runs(cs_rk, ce_rk, sc_rk, rhs_rk, rhe_rk, v_rk, K)
+    total_multi = _combine_runs(cs_rk, ce_rk, sc_rk, rhs_rk, rhe_rk, v_rk, K)
+    total_run = jnp.where(
+        ge2_run != 0,
+        total_multi[jnp.clip(multi_id_run, 0, R2 - 1)],
+        jax.lax.bitcast_convert_type(sc1_run, F32))
     qlen_f = qlens[jnp.clip(qid_run, 0, B1 - 1)].astype(F32)
     sc = jnp.minimum(total_run / jnp.maximum(qlen_f, F32(1.0)), F32(1.0))
 
