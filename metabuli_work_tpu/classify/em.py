@@ -14,34 +14,77 @@ import numpy as np
 
 from ..report import reporter
 
+# MappingRes{uint32 queryId; TaxID speciesId; float score} — the binary
+# per-read mapping record classify emits under --em and em() loads back
+# (reference src/commons/common.h:24-31, Classifier.cpp:442-458).  All
+# fields are 4-byte so the C++ struct is packed; ids are in internal
+# taxid space and score is the squared species score
+# (Taxonomer.cpp:377-386, Reporter.h:87).
+MAPPING_DTYPE = np.dtype([("queryId", "<u4"), ("speciesId", "<i4"),
+                          ("score", "<f4")])
 
-def species_unique_kmer_counts(index):
-    """Unique-k-mer count per species (reference counts info entries per
-    species, Classifier.cpp:390-440)."""
-    uniq, counts = np.unique(index.species, return_counts=True)
-    return dict(zip(uniq.tolist(), counts.tolist()))
 
-
-def run_em(records, classifier, out_dir, job_id, max_iter=1000, tol=1e-6):
-    tax = classifier.taxonomy
-    # flat mapping arrays
-    qids, sps, scores = [], [], []
+def write_mapping_results(path, records):
+    """<job>_mapping_results.txt: binary MappingRes array (reference
+    Reporter.h:74-92 writes one record per stored (species, score^2))."""
+    rows = []
     for qi, qr in enumerate(records):
         r = qr.result
         if not r or not r.species_scores:
             continue
         for sp, sc in r.species_scores:
-            qids.append(qi)
-            sps.append(sp)
-            scores.append(sc)
-    if not qids:
+            rows.append((qi, sp, sc))
+    arr = np.array(rows, dtype=MAPPING_DTYPE)
+    arr.tofile(path)
+    return len(arr)
+
+
+def load_mapping_results(path):
+    """Read a MappingRes file -> (qids int64, species int64, score f64)."""
+    arr = np.fromfile(path, dtype=MAPPING_DTYPE)
+    return (arr["queryId"].astype(np.int64), arr["speciesId"].astype(np.int64),
+            arr["score"].astype(np.float64))
+
+
+def species_unique_kmer_counts(index, db_dir=None):
+    """Unique-k-mer count per species (reference counts info entries per
+    species, Classifier.cpp:390-440), cached as the DB-dir text file
+    `sp2uniqKmerCnt` ("taxid count" per line, Classifier.cpp:392-437)."""
+    cache = os.path.join(db_dir, "sp2uniqKmerCnt") if db_dir else None
+    if cache and os.path.exists(cache):
+        out = {}
+        with open(cache) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    out[int(parts[0])] = int(parts[1])
+        return out
+    uniq, counts = np.unique(index.species, return_counts=True)
+    out = dict(zip(uniq.tolist(), counts.tolist()))
+    if cache:
+        try:
+            with open(cache, "w") as f:
+                for t in sorted(out):
+                    if out[t] > 0:
+                        f.write(f"{t} {out[t]}\n")
+        except OSError:
+            pass
+    return out
+
+
+def run_em(records, classifier, out_dir, job_id, max_iter=1000, tol=1e-6):
+    tax = classifier.taxonomy
+    # classify's mapping output first (reference writes the binary
+    # MappingRes stream during classification, then em() re-reads it)
+    mapping_path = os.path.join(out_dir, f"{job_id}_mapping_results.txt")
+    n_map = write_mapping_results(mapping_path, records)
+    if n_map == 0:
         print("EM: no mappings, skipping")
         return
-    qids = np.asarray(qids, dtype=np.int64)
-    sps = np.asarray(sps, dtype=np.int64)
-    scores = np.asarray(scores, dtype=np.float64)
+    qids, sps, scores = load_mapping_results(mapping_path)
 
-    sp_kmers = species_unique_kmer_counts(classifier.index)
+    sp_kmers = species_unique_kmer_counts(classifier.index,
+                                          getattr(classifier, "db_dir", None))
     lf = np.array([1.0 / np.log(sp_kmers[s]) if sp_kmers.get(s, 0) > 1 else 0.0 for s in sps])
 
     sp_list = np.unique(sps)

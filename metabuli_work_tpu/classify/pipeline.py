@@ -100,12 +100,14 @@ def _est_update(cur: int, n: int, step: int, floor: int) -> int:
 
 class Classifier:
     def __init__(self, db_dir, params: ClassifyParams):
+        self.db_dir = db_dir   # EM caches sp2uniqKmerCnt here (em.py)
         self._init_from_index(load_index(db_dir), params)
 
     @classmethod
     def from_memory(cls, index: KmerIndex, params: ClassifyParams):
         """Wire a Classifier around an in-memory index (no disk round-trip)."""
         self = cls.__new__(cls)
+        self.db_dir = None
         self._init_from_index(index, params)
         return self
 

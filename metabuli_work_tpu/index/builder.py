@@ -247,6 +247,13 @@ def build_database(
 
     builder = IndexBuilder(taxonomy, syncmer, smer_len, mask_mode, mask_prob, max_ram_gb)
     acc_map_out = []
+    # per-species strandness tracking vs the first (training) contig —
+    # the reference's min-hash check (IndexCreator.cpp:1158-1212), which
+    # there triggers reverse-complement gene re-prediction; here
+    # predict_orfs scans both strands so a flipped contig only gets a
+    # diagnostic (index/minhash.py docstring)
+    training: dict = {}
+    n_reversed = 0
     for fa in fasta_files:
         for rec in read_fasta(fa):
             acc = rec.name.split(".")[0]
@@ -258,11 +265,24 @@ def build_database(
                 continue
             blocks = cds_info.get(acc)
             if blocks is None and orf_prediction:
+                from .minhash import minhash_sketch, minhash_similar
                 from .orf import predict_orfs
 
+                sp = taxonomy.species_of(internal)
+                if sp not in training:
+                    training[sp] = (minhash_sketch(rec.seq), len(rec.seq))
+                else:
+                    tsk, tlen = training[sp]
+                    if not minhash_similar(tsk, minhash_sketch(rec.seq),
+                                           tlen, len(rec.seq)):
+                        n_reversed += 1
                 blocks = predict_orfs(rec.seq) or None
             builder.add_sequence(rec.seq, internal, cds_blocks=blocks)
             acc_map_out.append((rec.name, taxid))
+    if n_reversed:
+        print(f"build: {n_reversed} contigs dissimilar/reverse-oriented vs "
+              f"their species training sequence (extraction is "
+              f"strand-complete; informational)")
 
     index = builder.finalize()
     index.meta["db_name"] = db_name or os.path.basename(str(db_dir))

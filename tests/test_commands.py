@@ -150,3 +150,31 @@ def test_em_pipeline(setup, tmp_path):
     cls_rows = [l for l in recls if l.startswith("1\t")]
     assert len(cls_rows) >= 10
     assert all(l.split("\t")[2] == "11" for l in cls_rows)
+
+    # binary MappingRes stream (reference common.h:24-31): 12-byte packed
+    # records, qid/species/score^2, round-trips through the loader
+    from metabuli_work_tpu.classify.em import (MAPPING_DTYPE,
+                                               load_mapping_results)
+
+    mp = tmp_path / "emjob_mapping_results.txt"
+    assert os.path.exists(mp)
+    assert MAPPING_DTYPE.itemsize == 12
+    assert os.path.getsize(mp) % 12 == 0
+    qids, sps, scores = load_mapping_results(str(mp))
+    assert len(qids) >= 10 and (scores > 0).all()
+    exp = [(qi, sp, sc) for qi, qr in enumerate(results)
+           for sp, sc in (qr.result.species_scores or ())]
+    assert len(qids) == len(exp)
+    assert [(int(q), int(s)) for q, s in zip(qids, sps)] \
+        == [(q, s) for q, s, _ in exp]
+
+    # sp2uniqKmerCnt text cache in the DB dir (Classifier.cpp:392-437)
+    cache = db / "sp2uniqKmerCnt"
+    assert cache.exists()
+    lines = cache.read_text().splitlines()
+    assert lines and all(len(l.split()) == 2 for l in lines)
+    from metabuli_work_tpu.classify.em import species_unique_kmer_counts
+
+    cached = species_unique_kmer_counts(clf.index, str(db))
+    fresh = species_unique_kmer_counts(clf.index, None)
+    assert cached == fresh
