@@ -151,9 +151,12 @@ class Classifier:
         self._path_estimate = 1 << 14   # emitted-path rows
         self._pairs_estimate = 1 << 12  # redundancy (rid, taxid) pair rows
         # static path-compaction width: compact_columns pays out_width
-        # gathers per column, so start tight; overflow re-runs wider and
-        # sticks (each distinct width is one extra compile)
+        # gathers per column (5 x width random gathers), so track the
+        # observed path counts: grow on overflow (sticky), shrink one
+        # power of two after _WIDTH_SHRINK_AFTER consecutive batches
+        # needing < 1/3 of the width (each distinct width is one compile)
         self._path_width = 1 << 16
+        self._width_lo_streak = 0
         # per-lane slot count for the blocked path packer (dp_jax.
         # pack_paths_blocked); lanes with more emitted paths trigger a
         # sticky doubled re-run
@@ -213,10 +216,22 @@ class Classifier:
         assert len(self.taxonomy.euler) < (1 << 25), \
             "taxonomy too large for packed-key redundancy kernel"
         db_ef = ef[self.index.taxids.astype(np.int64)].astype(np.int32)
-        from ..ops.match_jax import pack_db_quad
+        from ..ops.match_jax import build_aa_hash, pack_db_quad
 
         self.db_quad = jnp.asarray(pack_db_quad(self.index.values, db_ef,
                                                 sp_euk))
+        # AA-part hash table: `chain` row gathers resolve each query's
+        # run start vs 1 + bucket_steps chained gathers for the bucket
+        # bisection (the bisection was the single largest device cost,
+        # ~15 ms of the 22 ms step).  METABULI_HASH_PROBE=0 restores the
+        # bisection.
+        if os.environ.get("METABULI_HASH_PROBE", "1") == "1":
+            ht, self.hash_log2_rows, self.hash_chain = \
+                build_aa_hash(self.index.values)
+            self.hash_table = jnp.asarray(ht)
+        else:
+            self.hash_table = None
+            self.hash_log2_rows = self.hash_chain = 0
         self.euler = jnp.asarray(self.taxonomy.euler.astype(np.int32))
         # node -> euler-first coordinate, for the on-device tied-set LCA
         # (ops/assign_jax.device_assign)
@@ -376,6 +391,25 @@ class Classifier:
             self._dummy2 = cached
         return cached
 
+    _WIDTH_SHRINK_AFTER = 4
+    _WIDTH_FLOOR = 1 << 13
+
+    def _update_path_width(self, n_paths: int):
+        """Shrink the static compaction width once the observed path
+        counts prove it oversized (grow-on-overflow lives in the phase-1
+        retry loops).  Hysteresis: require _WIDTH_SHRINK_AFTER
+        consecutive batches under 1/3 of the width, then halve once —
+        width flapping would recompile the fused step each flip."""
+        if n_paths * 3 < self._path_width \
+                and self._path_width > self._WIDTH_FLOOR:
+            self._width_lo_streak += 1
+            if self._width_lo_streak >= self._WIDTH_SHRINK_AFTER:
+                self._path_width = max(self._path_width >> 1,
+                                       self._WIDTH_FLOOR)
+                self._width_lo_streak = 0
+        else:
+            self._width_lo_streak = 0
+
     def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None,
                            path_width=None, win_frac=None, path_block=None):
         from ..models.flagship import fused_step_dp
@@ -400,6 +434,9 @@ class Classifier:
                 path_block=path_block,
                 dp_pallas=getattr(self, "_dp_pallas", False),
                 pallas_interpret=getattr(self, "_pallas_interpret", False),
+                hash_table=self.hash_table,
+                hash_log2_rows=self.hash_log2_rows,
+                hash_chain=self.hash_chain,
             )
             # column 0 is the stats header; one async copy carries both
             # the stats and the estimated path prefix home
@@ -487,6 +524,7 @@ class Classifier:
             self._path_estimate = _est_update(self._path_estimate,
                                               int(n * 1.15), step=4096,
                                               floor=2048)
+            self._update_path_width(n)
 
         with self.timer.stage("score"):
             paths = dp_jax.decode_paths(arr)
@@ -629,7 +667,10 @@ class Classifier:
                 min_score=float(self.params.min_score),
                 tie_ratio=float(self.params.tie_ratio),
                 combine_k=combine_k, dna_shift=int(self.taxonomer.dna_shift),
-                n_quot=n_quot, part_w=part_w)
+                n_quot=n_quot, part_w=part_w,
+                hash_table=self.hash_table,
+                hash_log2_rows=self.hash_log2_rows,
+                hash_chain=self.hash_chain)
             for arr in (records, packed2):
                 try:
                     arr.copy_to_host_async()
@@ -689,6 +730,7 @@ class Classifier:
             rec = np.asarray(ctx["records"])
             st = rec[:5, 0]
 
+        self._update_path_width(int(st[1]))
         names, l1, l2 = ctx["names"], ctx["l1"], ctx["l2"]
         B = len(names)
         lens1 = np.asarray(l1)

@@ -91,7 +91,9 @@ def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   bucket_shift: int = 0, bucket_steps: int = 0,
                   path_width: int = 0, win_frac: int = 0,
                   path_block: int = 16, ra1=None, ra2=None,
-                  dp_pallas: bool = False, pallas_interpret: bool = False):
+                  dp_pallas: bool = False, pallas_interpret: bool = False,
+                  hash_table=None, hash_log2_rows: int = 0,
+                  hash_chain: int = 0):
     """Full device pipeline WITH on-device path DP.
 
     extract (+mate2) -> probe -> per-window candidate sort -> path DP ->
@@ -166,7 +168,10 @@ def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                                      kmer_format=kmer_format,
                                      bucket_lo=bucket_lo, db_aa_lo=db_aa_lo,
                                      bucket_shift=bucket_shift,
-                                     bucket_steps=bucket_steps)
+                                     bucket_steps=bucket_steps,
+                                     hash_table=hash_table,
+                                     hash_log2_rows=hash_log2_rows,
+                                     hash_chain=hash_chain)
     sp_clean = out["species"] & jnp.int32(0x3FFFFFFF)
 
     max_shift = (8 - smer_len) if syncmer else 1
@@ -242,7 +247,8 @@ def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
 @functools.partial(jax.jit, static_argnames=(
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
     "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
-    "path_block", "dp_pallas", "pallas_interpret"))
+    "path_block", "dp_pallas", "pallas_interpret", "hash_log2_rows",
+    "hash_chain"))
 def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   min_cons_euk: int = 9,
                   cap: int = 16, kmer_format: int = 2,
@@ -252,7 +258,9 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   bucket_shift: int = 0, bucket_steps: int = 0,
                   path_width: int = 0, win_frac: int = 0,
                   path_block: int = 16, ra1=None, ra2=None,
-                  dp_pallas: bool = False, pallas_interpret: bool = False):
+                  dp_pallas: bool = False, pallas_interpret: bool = False,
+                  hash_table=None, hash_log2_rows: int = 0,
+                  hash_chain: int = 0):
     """Host-scoring variant: see _fused_core.  Returns (packed_hdr,
     resident) — column 0 of packed_hdr is the stats header (rows 0-3 =
     candidate-cap overflow, path count, window-compaction overflow,
@@ -268,7 +276,8 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
         bucket_lo=bucket_lo, db_aa_lo=db_aa_lo, bucket_shift=bucket_shift,
         bucket_steps=bucket_steps, path_width=path_width, win_frac=win_frac,
         path_block=path_block, ra1=ra1, ra2=ra2, dp_pallas=dp_pallas,
-        pallas_interpret=pallas_interpret)
+        pallas_interpret=pallas_interpret, hash_table=hash_table,
+        hash_log2_rows=hash_log2_rows, hash_chain=hash_chain)
     hdr = jnp.zeros((paths_packed.shape[0], 1), jnp.int32)
     hdr = hdr.at[:4, 0].set(stats)
     packed_hdr = jnp.concatenate([hdr, paths_packed], axis=1)
@@ -278,7 +287,8 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
 @functools.partial(jax.jit, static_argnames=(
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
     "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
-    "path_block", "dp_pallas", "pallas_interpret",
+    "path_block", "dp_pallas", "pallas_interpret", "hash_log2_rows",
+    "hash_chain",
     "min_score", "tie_ratio", "combine_k", "dna_shift", "n_quot", "part_w"))
 def fused_step_full(reads1, lens1, reads2, lens2, db_quad,
                     ef_node, euler, depth, lift,
@@ -293,7 +303,8 @@ def fused_step_full(reads1, lens1, reads2, lens2, db_quad,
                     dp_pallas: bool = False, pallas_interpret: bool = False,
                     min_score: float = 0.0, tie_ratio: float = 0.95,
                     combine_k: int = 8, dna_shift: int = 0, n_quot: int = 0,
-                    part_w: tuple = ()):
+                    part_w: tuple = (), hash_table=None,
+                    hash_log2_rows: int = 0, hash_chain: int = 0):
     """Whole-batch device chain: fused step + species assign + redundancy.
 
     Device->host traffic shrinks from the full path array (~0.5 MB) to
@@ -316,7 +327,8 @@ def fused_step_full(reads1, lens1, reads2, lens2, db_quad,
         bucket_lo=bucket_lo, db_aa_lo=db_aa_lo, bucket_shift=bucket_shift,
         bucket_steps=bucket_steps, path_width=path_width, win_frac=win_frac,
         path_block=path_block, ra1=ra1, ra2=ra2, dp_pallas=dp_pallas,
-        pallas_interpret=pallas_interpret)
+        pallas_interpret=pallas_interpret, hash_table=hash_table,
+        hash_log2_rows=hash_log2_rows, hash_chain=hash_chain)
 
     B = reads1.shape[0]
     qlens = jnp.zeros(B + 1, jnp.int32)

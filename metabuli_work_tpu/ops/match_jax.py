@@ -103,6 +103,81 @@ def build_buckets(values: np.ndarray, max_bits: int = 24):
 
 EF_BITS = 25                 # euler_first coordinate width in the quad payload
 
+# ---------------------------------------------------------------------- #
+# Hash probe: one 64-byte-row gather replaces the bucket-table gather +
+# `steps` chained bisection gathers (each chained [N] gather costs
+# ~1.4-2.5 ms at N~190k on v5e — the bisection was ~15 ms of the 22 ms
+# device step).  The table maps each UNIQUE 40-bit AA part to its run
+# start in the sorted values array; absent queries resolve to M and fail
+# the candidate equality mask exactly like a bisection miss.
+
+HASH_SLOTS = 5               # (aa_lo32, aa_hi8|occupied, start) x 5 per row
+HASH_ROW_U32 = 16            # 64-byte rows: 5 slots x 3 u32 + 1 pad
+_HASH_MUL1 = np.uint32(0x9E3779B1)
+_HASH_MUL2 = np.uint32(0x85EBCA6B)
+
+
+def build_aa_hash(values: np.ndarray, load: float = 2.5,
+                  max_chain: int = 3):
+    """Host-side bucketized hash of unique AA parts -> run starts.
+
+    Returns (table uint32 [R, 16], log2_rows, chain): bucketized open
+    addressing with HASH_SLOTS slots per 64-byte row and linear ROW
+    chaining on overflow; ``chain`` is the measured maximum chain length
+    (rows a device probe must visit), kept <= max_chain by doubling R.
+    The reference's analogue is the `split` checkpoint table + two-
+    pointer merge (IndexCreator.cpp:811-866, KmerMatcher.cpp:251-466);
+    here point lookup wins because queries arrive unsorted on device.
+    """
+    aa = (values >> np.uint64(DNA_BITS)).astype(np.uint64)
+    uniq, starts = np.unique(aa, return_index=True)  # values sorted -> left edges
+    n = len(uniq)
+    lo32 = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi8 = (uniq >> np.uint64(32)).astype(np.uint32)
+    log2_rows = max(8, int(np.ceil(np.log2(max(n / load, 1)))))
+    while True:
+        R = 1 << log2_rows
+        h = (((lo32 * _HASH_MUL1) ^ (hi8 * _HASH_MUL2))
+             >> np.uint32(32 - log2_rows)).astype(np.int64)
+        # vectorized linear probing over the flattened slot space: keys
+        # sorted by home row fill slots in order, spilling forward when a
+        # row is full — the landing slot of sorted key k is
+        #   q_k = max_{j<=k}(f_j + (k - j)) = k + running_max(f_j - j)
+        order = np.argsort(h, kind="stable")
+        f = h[order] * HASH_SLOTS
+        k = np.arange(n, dtype=np.int64)
+        q = np.maximum.accumulate(f - k) + k
+        row_of = q // HASH_SLOTS
+        slot_of = q % HASH_SLOTS
+        chain = int((row_of - h[order]).max(initial=0)) + 1
+        if chain <= max_chain and (n == 0 or int(row_of[-1]) < R):
+            break
+        log2_rows += 1
+    table = np.zeros((R, HASH_ROW_U32), dtype=np.uint32)
+    cols = 3 * slot_of
+    table[row_of, cols] = lo32[order]
+    table[row_of, cols + 1] = hi8[order] | np.uint32(0x100)
+    table[row_of, cols + 2] = starts[order].astype(np.uint32)
+    return table, log2_rows, chain
+
+
+def _hash_search(q_aa, hash_table, log2_rows: int, chain: int, M):
+    """Point lookup of run starts: ``chain`` row gathers + VPU compares."""
+    U32 = jnp.uint32
+    q_lo = (q_aa & _U64(0xFFFFFFFF)).astype(U32)
+    q_hi = (q_aa >> _U64(32)).astype(U32)
+    h = ((q_lo * U32(_HASH_MUL1)) ^ (q_hi * U32(_HASH_MUL2))) \
+        >> U32(32 - log2_rows)
+    R = hash_table.shape[0]
+    lo = jnp.full(q_aa.shape, M, dtype=jnp.int32)
+    for c in range(chain):
+        row = hash_table[jnp.minimum(h.astype(jnp.int32) + c, R - 1)]  # [N, 16]
+        for s in range(HASH_SLOTS):
+            hit = (row[:, 3 * s] == q_lo) \
+                & (row[:, 3 * s + 1] == (q_hi | U32(0x100)))
+            lo = jnp.where(hit, row[:, 3 * s + 2].astype(jnp.int32), lo)
+    return lo
+
 
 def pack_db_quad(values: np.ndarray, euler_first: np.ndarray,
                  species_euk: np.ndarray) -> np.ndarray:
@@ -158,6 +233,9 @@ def match_kmers_quad(
     bucket_shift: int = 0,
     bucket_steps: int = 0,
     lo_override=None,
+    hash_table=None,
+    hash_log2_rows: int = 0,
+    hash_chain: int = 0,
 ):
     """Probe a u32-quad-packed DB (see pack_db_quad) — cap-MAJOR layout.
 
@@ -169,12 +247,16 @@ def match_kmers_quad(
 
     lo_override: precomputed left edges (callers that find run starts
     their own way, e.g. the run-count search) — skips _bucket_search.
+    hash_table: build_aa_hash output — resolves run starts with `chain`
+    row gathers instead of 1 + `bucket_steps` chained gathers.
     """
     U32 = jnp.uint32
     M = db_quad.shape[0]
     q_aa = q_kmers >> _U64(DNA_BITS)
     if lo_override is not None:
         lo = lo_override
+    elif hash_table is not None:
+        lo = _hash_search(q_aa, hash_table, hash_log2_rows, hash_chain, M)
     else:
         lo = _bucket_search(q_aa, q_valid, bucket_lo, db_aa_lo, bucket_shift,
                             bucket_steps, M)
