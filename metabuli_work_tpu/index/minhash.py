@@ -34,12 +34,15 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    x = x.copy()
-    x ^= x >> np.uint64(33)
-    x *= _M1
-    x ^= x >> np.uint64(33)
-    x *= _M2
-    x ^= x >> np.uint64(33)
+    # uint64 wraparound is the point of the mix; silence numpy's
+    # overflow RuntimeWarning explicitly instead of leaking it to callers
+    with np.errstate(over="ignore"):
+        x = x.copy()
+        x ^= x >> np.uint64(33)
+        x *= _M1
+        x ^= x >> np.uint64(33)
+        x *= _M2
+        x ^= x >> np.uint64(33)
     return x
 
 
@@ -64,7 +67,8 @@ def minhash_sketch(seq: str, k: int = KMER_LEN,
         packed = np.zeros(n, dtype=np.uint64)
         for byte in range(word.shape[1]):
             packed |= word[:, byte] << np.uint64(8 * byte)
-        h = _mix64(h + packed + _GOLDEN * np.uint64(j // 8 + 1))
+        with np.errstate(over="ignore"):   # uint64 wraparound intended
+            h = _mix64(h + packed + _GOLDEN * np.uint64(j // 8 + 1))
     h = np.unique(h)
     return h[:sketch]
 

@@ -159,7 +159,8 @@ def make_sharded_classify_step(mesh: Mesh, cap: int = 16, kmer_format: int = 2,
         merged["pos"] = qp
         merged["frame"] = qf
         merged["seq_id"] = qs
-        merged["match_count"] = jnp.sum(merged["sel"] > 0)
+        # sel counts are per-dp-shard; sum over 'dp' for the global count
+        merged["match_count"] = jax.lax.psum(jnp.sum(merged["sel"] > 0), "dp")
         return merged
 
     shard_map = jax.shard_map

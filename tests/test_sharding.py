@@ -28,7 +28,7 @@ def test_sharded_step_equals_single_device():
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from metabuli_work_tpu.models.flagship import classify_step, synthetic_db, synthetic_reads
+    from metabuli_work_tpu.models.flagship import classify_step
     from metabuli_work_tpu.parallel.sharding import (
         device_put_sharded_index,
         make_mesh,
@@ -36,9 +36,25 @@ def test_sharded_step_equals_single_device():
         shard_index,
     )
 
-    values, taxids, species = synthetic_db(n_kmers=2048, seed=5)
-    # inject guaranteed matches: derive some query kmers from db values
-    reads, lengths = synthetic_reads(batch=16, length=96, seed=6)
+    # guaranteed matches: index a genome and derive the reads from it
+    from metabuli_work_tpu.index.builder import IndexBuilder
+    from tests.tests_helpers_tax import make_flat_tax
+
+    rng = np.random.default_rng(5)
+    genome = "".join(rng.choice(list("ACGT"), 4000))
+    builder = IndexBuilder(make_flat_tax(), syncmer=False, mask_mode=0)
+    builder.add_sequence(genome, 4)
+    index = builder.finalize()
+    values = index.values
+    taxids = index.taxids.astype(np.int32)
+    species = index.species.astype(np.int32)
+
+    B, L = 16, 96
+    reads = np.zeros((B, L), dtype=np.uint8)
+    for i in range(B):
+        s = int(rng.integers(0, len(genome) - L))
+        reads[i] = np.frombuffer(genome[s:s + L].encode(), np.uint8)
+    lengths = np.full(B, L, np.int32)
 
     # single-device reference result
     out1 = classify_step(jnp.asarray(reads), jnp.asarray(lengths),
@@ -46,6 +62,7 @@ def test_sharded_step_equals_single_device():
                          jnp.asarray(species), cap=8)
     sel1 = np.asarray(out1["sel"])
     tax1 = np.asarray(out1["taxid"])
+    assert sel1.sum() > 0, "test needs a non-empty match set"
 
     mesh = make_mesh(8)
     db_ax = mesh.shape["db"]
