@@ -45,6 +45,11 @@ class ClassifyParams:
     batch_size: int = 512
     max_cap: int = 4096
     long_read_chunk: int = 3072    # long reads processed whole up to bucket cap
+    # device-memory budget (GiB) for the resident index; when the packed
+    # index exceeds half of it, classify switches to DB-range streaming
+    # passes (the reference classifies any DB that fits on DISK under
+    # --max-ram, README.md:8 — this is the HBM analogue).  0 = resident.
+    hbm_budget_gb: float = 0.0
 
 
 class QueryRecord:
@@ -61,6 +66,32 @@ class QueryRecord:
     @property
     def total_length(self):
         return self.length1 + self.length2
+
+
+def _mesh_size(mesh) -> int:
+    return int(np.prod([v for v in mesh.shape.values()])) if mesh else 0
+
+
+def _fetch_rows(arr):
+    """Host copy of a leading-'dp'-sharded device array.
+
+    Single process (fully addressable): all rows.  Multi-host: only the
+    rows whose devices belong to this process — each process scores and
+    reports its own read shard (SURVEY.md section 5.8).  Returns
+    (np.ndarray [n_local, ...], global row ids).
+    """
+    fully = getattr(arr, "is_fully_addressable", True)
+    if fully:
+        a = np.asarray(arr)
+        return a, list(range(a.shape[0]))
+    seen = {}
+    for sh in arr.addressable_shards:
+        d = np.asarray(sh.data)
+        start = sh.index[0].start or 0
+        for k in range(d.shape[0]):
+            seen.setdefault(start + k, d[k])   # db replicas are identical
+    ids = sorted(seen)
+    return np.stack([seen[i] for i in ids]), ids
 
 
 def _bucket_len(n: int, quantum: int = 24) -> int:
@@ -99,19 +130,20 @@ def _est_update(cur: int, n: int, step: int, floor: int) -> int:
 
 
 class Classifier:
-    def __init__(self, db_dir, params: ClassifyParams):
+    def __init__(self, db_dir, params: ClassifyParams, mesh=None):
         self.db_dir = db_dir   # EM caches sp2uniqKmerCnt here (em.py)
-        self._init_from_index(load_index(db_dir), params)
+        self._init_from_index(load_index(db_dir), params, mesh=mesh)
 
     @classmethod
-    def from_memory(cls, index: KmerIndex, params: ClassifyParams):
+    def from_memory(cls, index: KmerIndex, params: ClassifyParams, mesh=None):
         """Wire a Classifier around an in-memory index (no disk round-trip)."""
         self = cls.__new__(cls)
         self.db_dir = None
-        self._init_from_index(index, params)
+        self._init_from_index(index, params, mesh=mesh)
         return self
 
-    def _init_from_index(self, index: KmerIndex, params: ClassifyParams):
+    def _init_from_index(self, index: KmerIndex, params: ClassifyParams,
+                         mesh=None):
         import jax.numpy as jnp
 
         self.params = params
@@ -121,15 +153,32 @@ class Classifier:
         self.kmer_format = int(meta.get("kmer_format", 2))
         self.syncmer = bool(meta.get("syncmer", False))
         self.smer_len = int(meta.get("smer_len", 5))
-        self.db_values = jnp.asarray(self.index.values)
-        self.db_taxids = jnp.asarray(self.index.taxids.astype(np.int32))
-        self.db_species = jnp.asarray(self.index.species.astype(np.int32))
-        from ..ops import match_jax as _mj
+        # multi-chip production mode: a (dp, db) jax.sharding.Mesh — the
+        # index lives range-sharded over 'db', read batches over 'dp'
+        # (reference analog: per-thread DB-range streams,
+        # src/commons/KmerMatcher.cpp:166-198).  Single chip when None.
+        self.mesh = mesh if (mesh is not None and _mesh_size(mesh) > 1) \
+            else None
+        # DB-range streaming: when the packed index would blow the HBM
+        # budget, keep it host-side and probe it in range passes
+        import os as _os
 
-        b_lo, aa_lo, self.bucket_shift, self.bucket_steps = _mj.build_buckets(
-            self.index.values)
-        self.bucket_lo = jnp.asarray(b_lo)
-        self.db_aa_lo = jnp.asarray(aa_lo)
+        budget_gb = float(params.hbm_budget_gb or 0) \
+            or float(_os.environ.get("METABULI_HBM_GB", "0") or 0)
+        self._hbm_budget_gb = budget_gb
+        quad_bytes = int(self.index.values.nbytes) * 2   # 16 B/entry packed
+        self._streaming = (self.mesh is None and budget_gb > 0
+                           and quad_bytes > budget_gb * (1 << 30) * 0.5)
+        if self.mesh is None and not self._streaming:
+            self.db_values = jnp.asarray(self.index.values)
+            self.db_taxids = jnp.asarray(self.index.taxids.astype(np.int32))
+            self.db_species = jnp.asarray(self.index.species.astype(np.int32))
+            from ..ops import match_jax as _mj
+
+            b_lo, aa_lo, self.bucket_shift, self.bucket_steps = \
+                _mj.build_buckets(self.index.values)
+            self.bucket_lo = jnp.asarray(b_lo)
+            self.db_aa_lo = jnp.asarray(aa_lo)
         self.cap = int(min(max(self.index.cap_aa_run(), 4), params.max_cap))
         self.taxonomer = VectorTaxonomer(
             self.taxonomy,
@@ -179,6 +228,14 @@ class Classifier:
         p = self.params
         self.use_device_dp = p.min_cons_cnt >= 2 and p.min_cons_cnt_euk >= 2
         if not self.use_device_dp:
+            if self.mesh is not None:
+                raise ValueError(
+                    "multi-device classify requires min_cons_cnt >= 2 "
+                    "(the device path-DP flow)")
+            if self._streaming:
+                raise ValueError(
+                    "DB-range streaming requires min_cons_cnt >= 2 "
+                    "(the device path-DP flow)")
             return
         # fused Pallas DP kernel (ops/dp_pallas.py) on real TPU backends;
         # the XLA flow stays the default on CPU (the interpret-mode kernel
@@ -193,6 +250,11 @@ class Classifier:
         on_tpu = _jax.default_backend() not in ("cpu",)
         self._dp_pallas = on_tpu if env is None else env == "1"
         self._pallas_interpret = self._dp_pallas and not on_tpu
+        if self.mesh is not None:
+            # the XLA DP flow is the validated path inside shard_map;
+            # the Pallas kernel per-shard is future work
+            self._dp_pallas = False
+            self._pallas_interpret = False
         n = self.taxonomy.num_nodes()
         euk = self.taxonomy.eukaryota_id()
         if euk:
@@ -218,6 +280,48 @@ class Classifier:
         db_ef = ef[self.index.taxids.astype(np.int64)].astype(np.int32)
         from ..ops.match_jax import build_aa_hash, pack_db_quad
 
+        if self._streaming:
+            # index stays HOST-side, cut into AA-boundary ranges sized to
+            # the HBM budget; classify loops range passes per batch
+            from ..parallel.sharding import shard_quad_index
+
+            quad_np = pack_db_quad(self.index.values, db_ef, sp_euk)
+            budget = self._hbm_budget_gb * (1 << 30) * 0.5
+            n_ranges = max(2, int(np.ceil(quad_np.nbytes / budget)))
+            (self._stream_quads, self._stream_hts, self.hash_log2_rows,
+             self.hash_chain, _) = shard_quad_index(quad_np, n_ranges)
+            self._n_ranges = n_ranges
+            self.euler = jnp.asarray(self.taxonomy.euler.astype(np.int32))
+            self.ef_node = jnp.asarray(ef.astype(np.int32))
+            self._device_assign = False   # host-scoring flow when streaming
+            self._combine_k = 8
+            return
+        if self.mesh is not None:
+            # metamer-range index shards (AA-boundary cuts) + per-shard
+            # hash tables with one uniform geometry; taxonomy tables
+            # replicated across the mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import shard_quad_index
+
+            quad_np = pack_db_quad(self.index.values, db_ef, sp_euk)
+            n_db = self.mesh.shape["db"]
+            quads, hts, self.hash_log2_rows, self.hash_chain, _ = \
+                shard_quad_index(quad_np, n_db)
+            shQ = NamedSharding(self.mesh, P("db", None, None))
+            rep = NamedSharding(self.mesh, P())
+            self.db_quad_sh = _jax.device_put(quads, shQ)
+            self.hash_sh = _jax.device_put(hts, shQ)
+            self.lca_depth = _jax.device_put(np.asarray(self.lca_depth), rep)
+            self.lca_lift = _jax.device_put(np.asarray(self.lca_lift), rep)
+            self.euler = _jax.device_put(
+                self.taxonomy.euler.astype(np.int32), rep)
+            self.ef_node = _jax.device_put(ef.astype(np.int32), rep)
+            self._device_assign = False   # host-scoring flow over the mesh
+            self._combine_k = 8
+            self._sharded_cache: dict = {}
+            self._sharded_red_cache: dict = {}
+            return
         self.db_quad = jnp.asarray(pack_db_quad(self.index.values, db_ef,
                                                 sp_euk))
         # AA-part hash table: `chain` row gathers resolve each query's
@@ -412,6 +516,14 @@ class Classifier:
 
     def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None,
                            path_width=None, win_frac=None, path_block=None):
+        if self.mesh is not None:
+            return self._dispatch_batch_dp_sharded(
+                names, a1, l1, a2, l2, cap=cap, path_width=path_width,
+                win_frac=win_frac, path_block=path_block)
+        if self._streaming:
+            return self._dispatch_batch_dp_stream(
+                names, a1, l1, a2, l2, cap=cap, path_width=path_width,
+                win_frac=win_frac, path_block=path_block)
         from ..models.flagship import fused_step_dp
 
         B = len(names)
@@ -461,6 +573,87 @@ class Classifier:
         }
 
 
+    def _dispatch_batch_dp_stream(self, names, a1, l1, a2=None, l2=None,
+                                  cap=None, path_width=None, win_frac=None,
+                                  path_block=None):
+        """DB-range streaming dispatch: extract once, loop probe passes
+        over host-resident index ranges (each device_put'd for the pass
+        and freed after — HBM holds ONE range + the accumulators), then
+        run the DP/compaction finish.  Same ctx contract as
+        _dispatch_batch_dp, so the two-phase finish and all five
+        overflow-retry protocols apply unchanged.
+
+        Reference analog: the --max-ram query-split x DB-stream loop
+        (QueryIndexer.cpp:30-147, DeltaIdxReader.h:214-229) with the
+        roles flipped — queries stay resident, the index streams."""
+        import jax.numpy as jnp
+
+        from ..models.flagship import (
+            extract_queries_step,
+            finish_stream_step,
+            part_widths,
+            probe_range_step,
+        )
+
+        B = len(names)
+        cap = cap or self.cap
+        path_width = path_width or self._path_width
+        win_frac = win_frac or self._win_frac
+        path_block = path_block or self._path_block
+        with self.timer.stage("dispatch"):
+            r1, j1, r2, j2, l1, l2, paired, ra1, ra2 = \
+                self._prep_arrays(a1, l1, a2, l2, B)
+            qk, qp, qf, qs, qv, win_over = extract_queries_step(
+                r1, j1, r2, j2, ra1, ra2, syncmer=self.syncmer,
+                smer_len=self.smer_len, kmer_format=self.kmer_format,
+                win_frac=win_frac, paired=paired)
+            N = qk.shape[0]
+            acc = (jnp.zeros((cap, N), bool),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((), jnp.int32))
+            for r in range(self._n_ranges):
+                quad_r = jnp.asarray(self._stream_quads[r])
+                hash_r = jnp.asarray(self._stream_hts[r])
+                acc = probe_range_step(
+                    qk, qf, qv, quad_r, hash_r, *acc, cap=cap,
+                    kmer_format=self.kmer_format,
+                    hash_log2_rows=self.hash_log2_rows,
+                    hash_chain=self.hash_chain)
+                del quad_r, hash_r   # freed once the pass retires
+            part_w = part_widths(r1.shape[1], r2.shape[1], paired,
+                                 self.syncmer, self.kmer_format,
+                                 self.smer_len, win_frac)
+            shapes = tuple((B, 6, w // 6) for w in part_w)
+            lmax = r1.shape[1] + (r2.shape[1] + 3 if paired else 0)
+            compact5 = (B * 6 < (1 << 16)) and (lmax < (1 << 14))
+            packed_hdr, resident = finish_stream_step(
+                *acc, qp, qs, win_over,
+                min_cons=int(self.params.min_cons_cnt),
+                min_cons_euk=int(self.params.min_cons_cnt_euk),
+                cap=cap, kmer_format=self.kmer_format,
+                syncmer=self.syncmer, smer_len=self.smer_len,
+                path_width=path_width, win_frac=win_frac,
+                path_block=path_block, compact5=compact5, shapes=shapes,
+                dp_pallas=getattr(self, "_dp_pallas", False),
+                pallas_interpret=getattr(self, "_pallas_interpret", False))
+            est = min(self._path_estimate, packed_hdr.shape[1] - 1)
+            prefix = packed_hdr[:, :est + 1]
+            try:
+                prefix.copy_to_host_async()
+            except AttributeError:
+                pass
+            n_quot = lmax // int(self.taxonomer.dna_shift) + 2
+        return {
+            "dp": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
+            "a1": a1, "a2": a2,
+            "paths": packed_hdr, "prefix": prefix, "est": est,
+            "resident": resident, "n_quot": n_quot, "part_w": part_w,
+        }
+
     def _finish_batch_dp(self, ctx):
         return self._finish_dp_phase2(self._finish_dp_phase1(ctx))
 
@@ -471,6 +664,8 @@ class Classifier:
         batch b sits behind batch b+1's fused step in the in-order device
         queue, so its sync must happen one iteration later to avoid
         blocking on a whole device step."""
+        if ctx.get("sharded"):
+            return self._finish_dp_phase1_sharded(ctx)
         from ..ops import dp_jax
         from .taxonomer import ReadResult as RR
 
@@ -592,13 +787,31 @@ class Classifier:
         results = ctx["results"]
         if ctx["deferred"]:
             with self.timer.stage("redundancy_sync"):
-                hdr2 = np.asarray(ctx["prefix2"])   # ONE blocking fetch
-                n2 = int(hdr2[0, 0])
-                if n2 <= ctx["est2"]:
-                    m2 = hdr2[:, 1:n2 + 1]
+                if ctx.get("sharded"):
+                    # [dp, 2, 1+G]: per-shard pair columns; local read
+                    # ids shift by the shard's read offset
+                    hdr2, rows2 = _fetch_rows(ctx["prefix2"])
+                    Bl = ctx["Bl"]
+                    rids, taxs = [], []
+                    for li, s in enumerate(rows2):
+                        n2s = int(hdr2[li, 0, 0])
+                        self.total_match_cnt += int(hdr2[li, 1, 0])
+                        if n2s:
+                            rids.append(hdr2[li, 0, 1:n2s + 1] + s * Bl)
+                            taxs.append(hdr2[li, 1, 1:n2s + 1])
+                    if rids:
+                        m2 = np.stack([np.concatenate(rids),
+                                       np.concatenate(taxs)])
+                    else:
+                        m2 = np.zeros((2, 0), np.int32)
                 else:
-                    m2 = np.asarray(ctx["pairs"][:, 1:n2 + 1])
-                self.total_match_cnt += int(hdr2[1, 0])
+                    hdr2 = np.asarray(ctx["prefix2"])  # ONE blocking fetch
+                    n2 = int(hdr2[0, 0])
+                    if n2 <= ctx["est2"]:
+                        m2 = hdr2[:, 1:n2 + 1]
+                    else:
+                        m2 = np.asarray(ctx["pairs"][:, 1:n2 + 1])
+                    self.total_match_cnt += int(hdr2[1, 0])
                 # per-(read, lca) group counts -> tax_cnt dicts
                 tax_cnts: dict = {}
                 try:
@@ -621,12 +834,264 @@ class Classifier:
                                                   ctx["qlens"], results)
 
         out = []
-        for i in range(B):
+        for i in ctx.get("local_reads", range(B)):
             qr = QueryRecord(ctx["names"][i], int(ctx["lens1"][i]),
                              int(ctx["lens2"][i]))
             qr.result = results[i]
             out.append(qr)
         return out
+
+    # ------------------------------------------------------------------ #
+    # multi-chip production flow: the same two-phase host protocol as the
+    # single-chip DP flow, but the fused step runs shard_map'd over the
+    # (dp, db) mesh — index range-sharded over 'db' (one psum candidate
+    # merge), reads over 'dp'; paths/stats come home per dp shard.
+    def _sharded_step(self, cap, paired, path_width, win_frac, path_block):
+        key = (cap, paired, path_width, win_frac, path_block)
+        step = self._sharded_cache.get(key)
+        if step is None:
+            from ..parallel.sharding import make_sharded_fused_dp_prod
+
+            step = make_sharded_fused_dp_prod(
+                self.mesh, cap=cap, kmer_format=self.kmer_format,
+                syncmer=self.syncmer, smer_len=self.smer_len, paired=paired,
+                min_cons=int(self.params.min_cons_cnt),
+                min_cons_euk=int(self.params.min_cons_cnt_euk),
+                path_width=path_width, win_frac=win_frac,
+                path_block=path_block,
+                hash_log2_rows=self.hash_log2_rows,
+                hash_chain=self.hash_chain, has_ra=self._host_ra)
+            self._sharded_cache[key] = step
+        return step
+
+    def _sharded_red(self, n_quot, part_w):
+        key = (n_quot, part_w)
+        red = self._sharded_red_cache.get(key)
+        if red is None:
+            from ..parallel.sharding import make_sharded_redundancy
+
+            red = make_sharded_redundancy(
+                self.mesh, dna_shift=int(self.taxonomer.dna_shift),
+                n_quot=n_quot, part_w=part_w)
+            self._sharded_red_cache[key] = red
+        return red
+
+    def _prep_arrays_sharded(self, a1, l1, a2, l2, B):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.encode_jax import right_align
+
+        dp = self.mesh.shape["dp"]
+        B_pad = -(-max(B, 1) // dp) * dp
+
+        def pad_b(arr):
+            if arr.shape[0] == B_pad:
+                return np.ascontiguousarray(arr)
+            out = np.zeros((B_pad,) + arr.shape[1:], dtype=arr.dtype)
+            out[:B] = arr
+            return out
+
+        shN = NamedSharding(self.mesh, P("dp", None))
+        sh1 = NamedSharding(self.mesh, P("dp"))
+        l1 = np.minimum(np.asarray(l1, dtype=np.int32), a1.shape[1])
+        lmax1 = _bucket_len(int(l1.max()) if B else 1)
+        h1 = pad_b(a1[:, :lmax1])
+        l1p = pad_b(l1)
+        r1 = jax.device_put(h1, shN)
+        j1 = jax.device_put(l1p, sh1)
+        ra1 = jax.device_put(right_align(h1, l1p), shN) if self._host_ra \
+            else None
+        paired = a2 is not None
+        if paired:
+            l2 = np.minimum(np.asarray(l2, dtype=np.int32), a2.shape[1])
+            lmax2 = _bucket_len(int(l2.max()) if B else 1)
+            h2 = pad_b(a2[:, :lmax2])
+            l2p = pad_b(l2)
+            r2 = jax.device_put(h2, shN)
+            j2 = jax.device_put(l2p, sh1)
+            ra2 = jax.device_put(right_align(h2, l2p), shN) if self._host_ra \
+                else None
+        else:
+            l2 = None
+            r2 = jax.device_put(np.zeros((B_pad, 96), np.uint8), shN)
+            j2 = jax.device_put(np.zeros(B_pad, np.int32), sh1)
+            ra2 = r2 if self._host_ra else None
+        return r1, j1, r2, j2, l1, l2, paired, ra1, ra2, B_pad
+
+    def _dispatch_batch_dp_sharded(self, names, a1, l1, a2=None, l2=None,
+                                   cap=None, path_width=None, win_frac=None,
+                                   path_block=None):
+        from ..models.flagship import part_widths
+
+        B = len(names)
+        cap = cap or self.cap
+        path_width = path_width or self._path_width
+        win_frac = win_frac or self._win_frac
+        path_block = path_block or self._path_block
+        with self.timer.stage("dispatch"):
+            r1, j1, r2, j2, l1, l2, paired, ra1, ra2, B_pad = \
+                self._prep_arrays_sharded(a1, l1, a2, l2, B)
+            step = self._sharded_step(cap, paired, path_width, win_frac,
+                                      path_block)
+            args = [r1, j1, r2, j2, self.db_quad_sh, self.hash_sh]
+            if self._host_ra:
+                args += [ra1, ra2]
+            packed_hdr, *resident = step(*args)
+            est = min(self._path_estimate, packed_hdr.shape[2] - 1)
+            prefix = packed_hdr[:, :, :est + 1]
+            try:
+                prefix.copy_to_host_async()
+            except Exception:   # multi-process arrays may refuse; harmless
+                pass
+            lmax = r1.shape[1] + (r2.shape[1] + 3 if paired else 0)
+            n_quot = lmax // int(self.taxonomer.dna_shift) + 2
+            part_w = part_widths(r1.shape[1], r2.shape[1], paired,
+                                 self.syncmer, self.kmer_format,
+                                 self.smer_len, win_frac)
+        return {
+            "dp": True, "sharded": True, "names": names, "l1": l1, "l2": l2,
+            "cap": cap, "a1": a1, "a2": a2, "B_pad": B_pad,
+            "paths": packed_hdr, "prefix": prefix, "est": est,
+            "resident": tuple(resident), "n_quot": n_quot, "part_w": part_w,
+        }
+
+    def _finish_dp_phase1_sharded(self, ctx):
+        """Sharded twin of _finish_dp_phase1: per-dp-shard stats headers,
+        per-shard path decode with global read-id offsets."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops import dp_jax
+        from .taxonomer import ReadResult as RR
+
+        def redisp(**kw):
+            return self._dispatch_batch_dp_sharded(
+                ctx["names"], ctx["a1"], ctx["l1"], ctx["a2"], ctx["l2"],
+                **kw)
+
+        with self.timer.stage("hdr_sync"):
+            hdr, rows = _fetch_rows(ctx["prefix"])   # [n_local, C, est+1]
+            st = hdr[:, :5, 0]
+        # stats rows 0/2/3/4 are GLOBAL (psum/pmax over 'dp' on device),
+        # so every host takes identical retry decisions — a divergent
+        # static-arg recompile would deadlock the mesh collectives
+        if int(st[:, 2].max()) > 0:              # window compaction
+            self._win_frac = min(self._win_frac + 24, 256)
+            ctx = redisp(cap=ctx["cap"], win_frac=256)
+            hdr, rows = _fetch_rows(ctx["prefix"])
+            st = hdr[:, :5, 0]
+        while int(st[:, 0].max()) > 0 and ctx["cap"] < self.index.max_aa_run():
+            cap = min(ctx["cap"] * 2, self.index.max_aa_run())
+            self.cap = max(self.cap, cap)
+            ctx = redisp(cap=cap)
+            hdr, rows = _fetch_rows(ctx["prefix"])
+            st = hdr[:, :5, 0]
+        while int(st[:, 3].max()) > 0:           # blocked-packer lanes
+            self._path_block *= 2
+            ctx = redisp(cap=ctx["cap"], path_block=self._path_block)
+            hdr, rows = _fetch_rows(ctx["prefix"])
+            st = hdr[:, :5, 0]
+        while int(st[:, 4].max()) > ctx["paths"].shape[2] - 1:
+            self._path_width = max(self._path_width,
+                                   ctx["paths"].shape[2] - 1) * 2
+            ctx = redisp(cap=ctx["cap"], path_width=self._path_width)
+            hdr, rows = _fetch_rows(ctx["prefix"])
+            st = hdr[:, :5, 0]
+
+        names, l1, l2 = ctx["names"], ctx["l1"], ctx["l2"]
+        B = len(names)
+        B_pad = ctx["B_pad"]
+        n_dp = self.mesh.shape["dp"]
+        Bl = B_pad // n_dp
+        with self.timer.stage("fetch"):
+            n_s = st[:, 1]
+            n_max = int(n_s.max()) if len(n_s) else 0
+            if n_max <= ctx["est"]:
+                full = hdr
+            else:
+                full, rows = _fetch_rows(ctx["paths"])
+            self._path_estimate = _est_update(self._path_estimate,
+                                              int(n_max * 1.15), step=4096,
+                                              floor=2048)
+            self._update_path_width(int(st[:, 4].max()) if len(st) else 0)
+
+        with self.timer.stage("score"):
+            parts = []
+            for li, s in enumerate(rows):
+                n = int(n_s[li])
+                if n == 0:
+                    continue
+                d = dp_jax.decode_paths(full[li][:, 1:n + 1])
+                d["qid"] = (d["g"] // 6 + 1 + s * Bl).astype(np.int64)
+                d["frame"] = (d["g"] % 6).astype(np.int64)
+                parts.append(d)
+            if parts:
+                keys = [k for k in parts[0] if k != "g"]
+                cat = {k: np.concatenate([p[k] for p in parts])
+                       for k in keys}
+            else:
+                cat = {k: np.zeros(0, np.int64) for k in
+                       ("qid", "frame", "species", "start", "end",
+                        "hamming", "rh_start", "rh_end")}
+                cat["score"] = np.zeros(0, np.float32)
+            qid, frame = cat["qid"], cat["frame"]
+            if len(qid) and (int(cat["end"].max()) < (1 << 16)
+                             and B_pad < (1 << 19)):
+                key = (((qid << 25) | cat["species"]) << 19) \
+                    | (frame << 16) | cat["end"]
+                order = np.argsort(key, kind="stable")
+            else:
+                order = np.lexsort((np.arange(len(qid)), cat["end"], frame,
+                                    cat["species"], qid))
+            pa = {
+                "qid": qid[order], "species": cat["species"][order],
+                "start": cat["start"][order], "end": cat["end"][order],
+                "score": cat["score"][order],
+                "hamming": cat["hamming"][order],
+                "rh_start": cat["rh_start"][order],
+                "rh_end": cat["rh_end"][order],
+            }
+            results = [RR() for _ in range(B_pad)]
+            lens1 = np.asarray(l1)
+            lens2 = np.asarray(l2) if l2 is not None \
+                else np.zeros(B, dtype=np.int32)
+            qlens = np.zeros(B_pad + 1, dtype=np.int64)
+            qlens[1:B + 1] = lens1 + lens2
+            deferred = self.taxonomer.score_paths(pa, qlens, results)
+
+        # reads this process owns (all of them in single-process runs)
+        local_reads = []
+        for s in rows:
+            local_reads.extend(range(s * Bl, min((s + 1) * Bl, B)))
+        out_ctx = {"names": names, "lens1": lens1, "lens2": lens2,
+                   "results": results, "deferred": deferred, "qlens": qlens,
+                   "sharded": True, "Bl": Bl, "local_reads": local_reads}
+        with self.timer.stage("redundancy"):
+            if deferred:
+                best_sp = np.zeros((n_dp, Bl + 1), dtype=np.int32)
+                for rid, _, _, taxid in deferred:
+                    s, r = divmod(rid - 1, Bl)
+                    best_sp[s, r + 1] = taxid
+                red = self._sharded_red(ctx["n_quot"], ctx["part_w"])
+                sh = NamedSharding(self.mesh, P("dp", None))
+                if jax.process_count() == 1:
+                    bsp = jax.device_put(best_sp, sh)
+                else:
+                    # each process only scored its own dp rows; hand JAX
+                    # the local rows instead of a (divergent) global array
+                    bsp = jax.make_array_from_process_local_data(
+                        sh, best_sp[rows], best_sp.shape)
+                packed2 = red(*ctx["resident"], bsp, self.euler,
+                              self.lca_depth, self.lca_lift)
+                prefix2 = packed2            # full width (see single-chip)
+                try:
+                    prefix2.copy_to_host_async()
+                except Exception:
+                    pass
+                out_ctx.update(pairs=packed2, prefix2=prefix2,
+                               est2=packed2.shape[2] - 1)
+        return out_ctx
 
     # ------------------------------------------------------------------ #
     # device-assign flow (fused step + species assign + redundancy in ONE

@@ -46,6 +46,15 @@ def _add_classify_args(p):
                    help="initial per-kmer candidate budget; the probe "
                         "doubles its cap automatically on overflow "
                         "(reference retries with +=4, Classifier.cpp:128)")
+    p.add_argument("--hbm-gb", type=float, default=0.0, dest="hbm_budget_gb",
+                   help="device-memory budget (GiB) for the resident index; "
+                        "larger indexes stream in range passes (the HBM "
+                        "analogue of the reference --max-ram, README.md:8). "
+                        "0 = keep the whole index resident")
+    p.add_argument("--devices", type=int, default=0,
+                   help="device count for multi-chip classify: 0 = all "
+                        "visible devices (mesh mode when >1), 1 = force "
+                        "single chip")
     p.add_argument("--reduced-aa", type=int, default=0,
                    help="15-letter alphabet mode (DBs built with it are "
                         "not supported yet)")
@@ -99,9 +108,23 @@ def cmd_classify(args):
         accession_level=args.accession_level,
         em=args.em,
         batch_size=args.batch_size,
+        hbm_budget_gb=getattr(args, "hbm_budget_gb", 0.0),
     )
     t0 = time.time()
-    clf = Classifier(args.dbdir, params)
+    mesh = None
+    n_dev = getattr(args, "devices", 0)
+    if n_dev != 1:
+        import jax
+
+        avail = len(jax.devices())
+        want = avail if n_dev == 0 else min(n_dev, avail)
+        if want > 1:
+            from .parallel.sharding import make_mesh
+
+            mesh = make_mesh(want)
+            print(f"Multi-chip mesh: dp={mesh.shape['dp']} x "
+                  f"db={mesh.shape['db']}")
+    clf = Classifier(args.dbdir, params, mesh=mesh)
     print(f"Database loaded: {clf.index.size} k-mers ({time.time()-t0:.1f}s)")
 
     from .utils.timing import maybe_jax_profile, rss_gb

@@ -93,7 +93,7 @@ def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   path_block: int = 16, ra1=None, ra2=None,
                   dp_pallas: bool = False, pallas_interpret: bool = False,
                   hash_table=None, hash_log2_rows: int = 0,
-                  hash_chain: int = 0):
+                  hash_chain: int = 0, probe_fn=None):
     """Full device pipeline WITH on-device path DP.
 
     extract (+mate2) -> probe -> per-window candidate sort -> path DP ->
@@ -115,17 +115,55 @@ def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     (sel, species, ham, ef, q_pos, q_sids) stays on device for the later
     redundancy kernel.
     """
-    from ..ops import compact_jax, dp_jax
+    qk, qp, qf, qs, qv, shapes, win_over = _extract_all(
+        reads1, lens1, reads2, lens2, ra1, ra2, syncmer=syncmer,
+        smer_len=smer_len, kmer_format=kmer_format, win_frac=win_frac,
+        paired=paired)
 
+    if probe_fn is not None:
+        # mesh-sharded probe (parallel/sharding.py): each db shard probes
+        # its metamer range locally, a psum over 'db' merges the
+        # exclusive per-shard candidate tensors
+        out = probe_fn(qk, qf, qv)
+    else:
+        out = match_jax.match_kmers_quad(qk, qf, qv, db_quad, cap=cap,
+                                         kmer_format=kmer_format,
+                                         bucket_lo=bucket_lo, db_aa_lo=db_aa_lo,
+                                         bucket_shift=bucket_shift,
+                                         bucket_steps=bucket_steps,
+                                         hash_table=hash_table,
+                                         hash_log2_rows=hash_log2_rows,
+                                         hash_chain=hash_chain)
+    # compact 5-column path layout when every 16-bit field provably
+    # fits (g < 2^16, end+26 < 2^16, path hamming < 2^16); long-read
+    # chunks beyond 16 kb keep the 7-column layout
+    b = reads1.shape[0]
+    lmax_all = reads1.shape[1] + (reads2.shape[1] + 3 if paired else 0)
+    compact5 = (b * 6 < (1 << 16)) and (lmax_all < (1 << 14))
+    return _dp_from_probe(out, qp, qs, shapes, win_over, cap=cap,
+                          kmer_format=kmer_format, syncmer=syncmer,
+                          smer_len=smer_len, min_cons=min_cons,
+                          min_cons_euk=min_cons_euk, path_width=path_width,
+                          path_block=path_block, win_frac=win_frac,
+                          compact5=compact5, dp_pallas=dp_pallas,
+                          pallas_interpret=pallas_interpret)
+
+
+def _extract_all(reads1, lens1, reads2, lens2, ra1, ra2, *, syncmer,
+                 smer_len, kmer_format, win_frac, paired):
+    """Query extraction half of the fused step: 6-frame metamer encode
+    (+ paired mate-2 with the len1+3 position offset,
+    KmerExtractor.cpp:341-345) + optional syncmer window compaction.
+
+    Returns flat (qk, qp, qf, qs, qv) query tensors, the per-part
+    [B, 6, W] shapes, and the window-compaction overflow count."""
     # syncmer window compaction: only ~half the windows pass the anchor
     # rule, and probe gathers dominate the step — shrink the W axis to
     # win_frac/256 of its static size before probing (dyn_gap path DP
     # chains compacted slots by real position gaps).  win_frac == 0 or
     # >= 256 disables compaction.
-    dyn_gap = bool(syncmer and kmer_format == 2
-                   and 0 < win_frac < 256)
+    dyn_gap = bool(syncmer and kmer_format == 2 and 0 < win_frac < 256)
     win_over = jnp.int32(0)
-    blk_over = jnp.int32(0)
 
     def extract_part(reads, lens, ra):
         nonlocal win_over
@@ -163,23 +201,25 @@ def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     qf = jnp.concatenate([p[2] for p in parts])
     qs = jnp.concatenate([p[3] for p in parts])
     qv = jnp.concatenate([p[4] for p in parts])
+    return qk, qp, qf, qs, qv, shapes, win_over
 
-    out = match_jax.match_kmers_quad(qk, qf, qv, db_quad, cap=cap,
-                                     kmer_format=kmer_format,
-                                     bucket_lo=bucket_lo, db_aa_lo=db_aa_lo,
-                                     bucket_shift=bucket_shift,
-                                     bucket_steps=bucket_steps,
-                                     hash_table=hash_table,
-                                     hash_log2_rows=hash_log2_rows,
-                                     hash_chain=hash_chain)
+
+def _dp_from_probe(out, qp, qs, shapes, win_over, *, cap, kmer_format,
+                   syncmer, smer_len, min_cons, min_cons_euk, path_width,
+                   path_block, win_frac, compact5, dp_pallas=False,
+                   pallas_interpret=False):
+    """Post-probe half of the fused step: per-part candidate sort +
+    consecutive-match path DP + blocked packing + static-width
+    compaction.  `out` is a match_kmers_quad-style candidate dict
+    ([cap, N] tensors) from any probe — resident, mesh-merged, or
+    range-accumulated (the DB-streaming pass loop)."""
+    from ..ops import dp_jax
+
+    dyn_gap = bool(syncmer and kmer_format == 2 and 0 < win_frac < 256)
+    blk_over = jnp.int32(0)
     sp_clean = out["species"] & jnp.int32(0x3FFFFFFF)
 
     max_shift = (8 - smer_len) if syncmer else 1
-    # compact 5-column path layout when every 16-bit field provably
-    # fits (g < 2^16, end+26 < 2^16, path hamming < 2^16); long-read
-    # chunks beyond 16 kb keep the 7-column layout
-    lmax_all = reads1.shape[1] + (reads2.shape[1] + 3 if paired else 0)
-    compact5 = (b * 6 < (1 << 16)) and (lmax_all < (1 << 14))
     packed_parts = []
     sel_parts = []
     offset = 0
@@ -242,6 +282,89 @@ def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     resident = (out["sel"], sp_clean, out["hamming"], out["taxid"], qp, qs)
     stats = jnp.stack([out["overflow"], paths_count, win_over, blk_over])
     return stats, paths_packed, resident
+
+
+# ---------------------------------------------------------------------- #
+# DB-bigger-than-HBM streaming: the fused step split into three jitted
+# stages so the probe can loop over metamer-range passes of an index too
+# large to keep resident (the reference's --max-ram split loop recast:
+# QueryIndexer.cpp:30-147, KmerMatcher.cpp:166-198).  Ranges are cut at
+# AA-part boundaries, so each query's whole candidate run lives in
+# exactly ONE range — the per-range [cap, N] contributions are disjoint
+# and merge by masked accumulation (the same exclusivity argument as the
+# mesh psum merge), and the min(2*minHamming, 7) cutoff computed inside
+# the owning range equals the global cutoff.
+
+@functools.partial(jax.jit, static_argnames=(
+    "syncmer", "smer_len", "kmer_format", "win_frac", "paired"))
+def extract_queries_step(reads1, lens1, reads2, lens2, ra1=None, ra2=None,
+                         syncmer: bool = False, smer_len: int = 5,
+                         kmer_format: int = 2, win_frac: int = 0,
+                         paired: bool = False):
+    """Stage 1: extract once, keep flat query tensors resident across
+    all DB-range passes."""
+    qk, qp, qf, qs, qv, _shapes, win_over = _extract_all(
+        reads1, lens1, reads2, lens2, ra1, ra2, syncmer=syncmer,
+        smer_len=smer_len, kmer_format=kmer_format, win_frac=win_frac,
+        paired=paired)
+    return qk, qp, qf, qs, qv, win_over
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "kmer_format", "hash_log2_rows", "hash_chain"),
+    donate_argnums=(5, 6, 7, 8, 9, 10, 11))
+def probe_range_step(qk, qf, qv, quad_r, hash_r,
+                     acc_sel, acc_ham, acc_rh, acc_tax, acc_sp, acc_dna,
+                     acc_over,
+                     cap: int = 16, kmer_format: int = 2,
+                     hash_log2_rows: int = 8, hash_chain: int = 1):
+    """Stage 2 (one per range pass): probe one resident index range and
+    fold its candidates into the accumulators (donated buffers)."""
+    out = match_jax.match_kmers_quad(
+        qk, qf, qv, quad_r, cap=cap, kmer_format=kmer_format,
+        hash_table=hash_r, hash_log2_rows=hash_log2_rows,
+        hash_chain=hash_chain)
+    sel = out["sel"]
+    z = lambda a: jnp.where(sel, a, jnp.zeros((), a.dtype))
+    return (acc_sel | sel,
+            acc_ham + z(out["hamming"]),
+            acc_rh + z(out["rh"]),
+            acc_tax + z(out["taxid"]),
+            acc_sp + z(out["species"]),
+            acc_dna + z(out["dna_enc"]),
+            acc_over + out["overflow"])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
+    "path_width", "win_frac", "path_block", "compact5", "shapes",
+    "dp_pallas", "pallas_interpret"))
+def finish_stream_step(acc_sel, acc_ham, acc_rh, acc_tax, acc_sp, acc_dna,
+                       acc_over, qp, qs, win_over,
+                       min_cons: int = 4, min_cons_euk: int = 9,
+                       cap: int = 16, kmer_format: int = 2,
+                       syncmer: bool = False, smer_len: int = 5,
+                       path_width: int = 0, win_frac: int = 0,
+                       path_block: int = 16, compact5: bool = False,
+                       shapes: tuple = (),
+                       dp_pallas: bool = False,
+                       pallas_interpret: bool = False):
+    """Stage 3: candidate sort + path DP + compaction over the
+    range-accumulated candidates; same output contract as fused_step_dp
+    (packed_hdr with the stats header column, resident tensors)."""
+    out = {"sel": acc_sel, "hamming": acc_ham, "rh": acc_rh,
+           "taxid": acc_tax, "species": acc_sp, "dna_enc": acc_dna,
+           "overflow": acc_over}
+    stats, paths_packed, resident = _dp_from_probe(
+        out, qp, qs, shapes, win_over, cap=cap, kmer_format=kmer_format,
+        syncmer=syncmer, smer_len=smer_len, min_cons=min_cons,
+        min_cons_euk=min_cons_euk, path_width=path_width,
+        path_block=path_block, win_frac=win_frac, compact5=compact5,
+        dp_pallas=dp_pallas, pallas_interpret=pallas_interpret)
+    hdr = jnp.zeros((paths_packed.shape[0], 1), jnp.int32)
+    hdr = hdr.at[:4, 0].set(stats)
+    packed_hdr = jnp.concatenate([hdr, paths_packed], axis=1)
+    return packed_hdr, resident
 
 
 @functools.partial(jax.jit, static_argnames=(

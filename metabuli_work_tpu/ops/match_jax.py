@@ -118,7 +118,7 @@ _HASH_MUL2 = np.uint32(0x85EBCA6B)
 
 
 def build_aa_hash(values: np.ndarray, load: float = 2.5,
-                  max_chain: int = 3):
+                  max_chain: int = 3, min_log2_rows: int = 0):
     """Host-side bucketized hash of unique AA parts -> run starts.
 
     Returns (table uint32 [R, 16], log2_rows, chain): bucketized open
@@ -134,7 +134,9 @@ def build_aa_hash(values: np.ndarray, load: float = 2.5,
     n = len(uniq)
     lo32 = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi8 = (uniq >> np.uint64(32)).astype(np.uint32)
-    log2_rows = max(8, int(np.ceil(np.log2(max(n / load, 1)))))
+    # min_log2_rows: mesh-sharded probes need one uniform table geometry
+    # across all index shards (the row count is a static jit arg)
+    log2_rows = max(8, int(np.ceil(np.log2(max(n / load, 1)))), min_log2_rows)
     while True:
         R = 1 << log2_rows
         h = (((lo32 * _HASH_MUL1) ^ (hi8 * _HASH_MUL2))

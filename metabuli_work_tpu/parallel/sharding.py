@@ -250,6 +250,177 @@ def make_sharded_fused_dp_step(mesh: Mesh, cap: int = 16,
     )
 
 
+def shard_quad_index(quad: np.ndarray, n_shards: int):
+    """Cut a pack_db_quad [M, 4] uint32 array into n_shards contiguous
+    metamer ranges at AA-part boundaries, plus per-shard AA hash tables
+    with ONE uniform geometry (row count / chain length are static jit
+    args, so every shard must share them).
+
+    Pad rows carry an all-ones value (AA part 0xFF_FFFFFFFF) which no
+    real metamer can equal (AA symbols are 5-bit codes < 21, so an
+    all-ones 40-bit AA part never occurs) — a padded row can never pass
+    the probe's AA-equality mask.  Hash lookups of foreign queries miss
+    and resolve to lo = S, failing the pos < S test.
+
+    Returns (quads [n, S, 4] uint32, hash_tables [n, R, 16] uint32,
+    log2_rows, chain, counts int32 [n]).
+    """
+    from ..ops.match_jax import build_aa_hash
+
+    M = quad.shape[0]
+    v = quad[:, 0].astype(np.uint64) | (quad[:, 1].astype(np.uint64) << 32)
+    aa = v >> np.uint64(24)
+    bounds = [0]
+    for k in range(1, n_shards):
+        t = k * M // n_shards
+        while 0 < t < M and aa[t] == aa[t - 1]:
+            t += 1
+        bounds.append(min(t, M))
+    bounds.append(M)
+    counts = np.diff(bounds).astype(np.int32)
+    S = max(int(counts.max()) if M else 1, 1)
+    quads = np.full((n_shards, S, 4), np.uint32(0xFFFFFFFF), dtype=np.uint32)
+    shard_values = []
+    for i in range(n_shards):
+        lo, hi = bounds[i], bounds[i + 1]
+        quads[i, : hi - lo] = quad[lo:hi]
+        shard_values.append(v[lo:hi])
+    # uniform hash geometry: size every table for the largest shard and
+    # rebuild until all shards agree on one row count (min_log2_rows only
+    # sets the start point — a pathological collision cluster can still
+    # double past it, in which case every other shard re-pads up).  The
+    # static chain is the max observed chain; extra chain gathers on
+    # smaller shards are harmless (they just re-miss).
+    builds = [build_aa_hash(sv) for sv in shard_values]
+    log2 = max((b[1] for b in builds), default=8)
+    while True:
+        builds = [b if b[1] == log2 else build_aa_hash(sv, min_log2_rows=log2)
+                  for sv, b in zip(shard_values, builds)]
+        got = max((b[1] for b in builds), default=log2)
+        if got == log2:
+            break
+        log2 = got
+    chain = max((b[2] for b in builds), default=1)
+    ht = (np.stack([b[0] for b in builds]) if builds
+          else np.zeros((n_shards, 256, 16), np.uint32))
+    return quads, ht, log2, chain, counts
+
+
+def make_sharded_fused_dp_prod(mesh: Mesh, *, cap: int, kmer_format: int = 2,
+                               syncmer: bool = False, smer_len: int = 5,
+                               paired: bool = False,
+                               min_cons: int = 4, min_cons_euk: int = 9,
+                               path_width: int = 4096, win_frac: int = 256,
+                               path_block: int = 16,
+                               hash_log2_rows: int = 8, hash_chain: int = 1,
+                               has_ra: bool = False,
+                               dp_pallas: bool = False,
+                               pallas_interpret: bool = False):
+    """PRODUCTION multi-chip classify step: the complete single-chip
+    fused pipeline (models/flagship._fused_core — window compaction,
+    paired-end, hash probe, candidate sort, path DP, blocked packing,
+    static-width compaction, overflow stats) with the probe stage
+    replaced by a shard-local hash probe + one psum candidate merge over
+    the 'db' mesh axis.  Everything after the collective runs dp-local,
+    so per-batch cross-device traffic is exactly one [cap+1, N] int32
+    reduction (SURVEY.md section 5.8).
+
+    Inputs (global shapes):
+      r1/r2 uint8 [B, L]     P('dp', None)   (+ ra1/ra2 when has_ra)
+      j1/j2 int32 [B]        P('dp')
+      quads uint32 [n,S,4]   P('db', None, None)
+      hts   uint32 [n,R,16]  P('db', None, None)
+    Outputs:
+      packed_hdr int32 [dp, 7|5, 1+path_width]  (header col 0 = stats)
+      resident tuple for the redundancy phase, each leading-axis 'dp'
+    """
+    from ..models import flagship
+    from ..ops import match_jax
+
+    def step(r1, j1, r2, j2, quads, hts, ra1=None, ra2=None):
+        def probe_fn(qk, qf, qv):
+            out = match_jax.match_kmers_quad(
+                qk, qf, qv, quads[0], cap=cap, kmer_format=kmer_format,
+                hash_table=hts[0], hash_log2_rows=hash_log2_rows,
+                hash_chain=hash_chain)
+            sel = out["sel"]
+            z = {}
+            for k, a in out.items():
+                if k == "sel":
+                    z[k] = sel.astype(jnp.int32)
+                elif k == "overflow":
+                    z[k] = a
+                else:
+                    # zero non-selected lanes: ownership is exclusive
+                    # (AA runs never straddle shards), so psum == merge
+                    z[k] = jnp.where(sel, a, jnp.zeros((), a.dtype))
+            m = {k: jax.lax.psum(a, "db") for k, a in z.items()}
+            m["sel"] = m["sel"] > 0
+            return m
+
+        stats, paths_packed, resident = flagship._fused_core(
+            r1, j1, r2, j2, None, min_cons=min_cons,
+            min_cons_euk=min_cons_euk, cap=cap, kmer_format=kmer_format,
+            syncmer=syncmer, smer_len=smer_len, paired=paired,
+            path_width=path_width, win_frac=win_frac, path_block=path_block,
+            ra1=ra1, ra2=ra2, dp_pallas=dp_pallas,
+            pallas_interpret=pallas_interpret, probe_fn=probe_fn)
+        # header stats: overflow rows carry GLOBAL (psum over 'dp')
+        # values so every host sees the same numbers and the per-batch
+        # retry protocol stays lockstep across processes (a divergent
+        # static-arg retry would deadlock the collectives).  Row 1 stays
+        # the LOCAL path count (each shard's decode width); row 4 is the
+        # global max path count for the width-retry decision.
+        g_over = jax.lax.psum(stats[0], "dp")
+        g_win = jax.lax.psum(stats[2], "dp")
+        g_blk = jax.lax.psum(stats[3], "dp")
+        g_wmax = jax.lax.pmax(stats[1], "dp")
+        hdr = jnp.zeros((paths_packed.shape[0], 1), jnp.int32)
+        hdr = hdr.at[:5, 0].set(
+            jnp.stack([g_over, stats[1], g_win, g_blk, g_wmax]))
+        packed_hdr = jnp.concatenate([hdr, paths_packed], axis=1)
+        sel, species, ham, ef, q_pos, q_sids = resident
+        return (packed_hdr[None], sel[None], species[None], ham[None],
+                ef[None], q_pos[None], q_sids[None])
+
+    dpN = P("dp", None)
+    in_specs = [dpN, P("dp"), dpN, P("dp"),
+                P("db", None, None), P("db", None, None)]
+    if has_ra:
+        in_specs += [dpN, dpN]
+    out_specs = (P("dp", None, None),) * 5 + (P("dp", None),) * 2
+    return jax.jit(
+        jax.shard_map(step, mesh=mesh, in_specs=tuple(in_specs),
+                      out_specs=out_specs, check_vma=False)
+    )
+
+
+def make_sharded_redundancy(mesh: Mesh, *, dna_shift: int, n_quot: int,
+                            part_w: tuple):
+    """Phase-2 redundancy filter over the 'dp' axis: each dp shard runs
+    the single-chip _redundancy_core on its resident match tensors with
+    its slice of the per-read best species.  Taxonomy tables (euler,
+    depth, lift) are replicated."""
+    from ..models.flagship import _redundancy_core
+
+    def step(sel, species, ham, ef, q_pos, q_sids, best_sp,
+             euler, depth, lift):
+        packed2 = _redundancy_core(
+            sel[0] > 0, species[0], ham[0], ef[0], q_pos[0], q_sids[0],
+            best_sp[0], euler, depth, lift,
+            dna_shift=dna_shift, n_quot=n_quot, part_w=part_w)
+        return packed2[None]
+
+    dp3 = P("dp", None, None)
+    return jax.jit(
+        jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(dp3, dp3, dp3, dp3, P("dp", None), P("dp", None),
+                      P("dp", None), P(None), P(None), P(None, None)),
+            out_specs=dp3, check_vma=False)
+    )
+
+
 def device_put_sharded_index(mesh, pv, pt, ps, counts):
     sh = NamedSharding(mesh, P("db", None))
     sh1 = NamedSharding(mesh, P("db"))

@@ -1,0 +1,107 @@
+"""DB-bigger-than-HBM streaming (VERDICT r1 item 3).
+
+Classify with an artificial HBM budget that forces the index into >= 4
+range passes; results must be bit-identical to the fully-resident run.
+"""
+
+import numpy as np
+import pytest
+
+from metabuli_work_tpu.classify.pipeline import Classifier, ClassifyParams
+from metabuli_work_tpu.index.builder import build_database
+
+rng = np.random.default_rng(47)
+
+
+@pytest.fixture(scope="module", params=[False, True],
+                ids=["plain", "syncmer"])
+def stream_db(request, tmp_path_factory):
+    syncmer = request.param
+    tmp = tmp_path_factory.mktemp(f"streamdb_{syncmer}")
+    d = tmp / "taxdump"
+    d.mkdir()
+    nodes = [(1, 1, "no rank"), (2, 1, "superkingdom"),
+             (10, 2, "genus"), (11, 10, "species"),
+             (20, 2, "genus"), (21, 20, "species")]
+    with open(d / "nodes.dmp", "w") as f:
+        for tid, par, rank in nodes:
+            f.write(f"{tid}\t|\t{par}\t|\t{rank}\t|\n")
+    with open(d / "names.dmp", "w") as f:
+        for tid, _, _ in nodes:
+            f.write(f"{tid}\t|\tn{tid}\t|\t\t|\tscientific name\t|\n")
+    (d / "merged.dmp").write_text("")
+    genomes = {"SA": ("".join(rng.choice(list("ACGT"), 9000)), 11),
+               "SB": ("".join(rng.choice(list("ACGT"), 9000)), 21)}
+    fasta = tmp / "genomes.fna"
+    with open(fasta, "w") as f:
+        for acc, (seq, _) in genomes.items():
+            f.write(f">{acc}\n{seq}\n")
+    (tmp / "fastas.txt").write_text(str(fasta) + "\n")
+    with open(tmp / "acc2taxid.map", "w") as f:
+        f.write("accession\taccession.version\ttaxid\tgi\n")
+        for acc, (_, tid) in genomes.items():
+            f.write(f"{acc}\t{acc}.1\t{tid}\t0\n")
+    db_dir = tmp / "db"
+    build_database(str(db_dir), str(tmp / "fastas.txt"),
+                   str(tmp / "acc2taxid.map"), str(d), mask_mode=0,
+                   syncmer=syncmer)
+
+    reads = tmp / "reads.fna"
+    with open(reads, "w") as f:
+        for i in range(20):
+            acc = "SA" if i % 2 == 0 else "SB"
+            g = genomes[acc][0]
+            st = int(rng.integers(0, len(g) - 150))
+            f.write(f">r{i}\n{g[st:st + 150]}\n")
+        for i in range(20, 24):
+            f.write(f">r{i}\n{''.join(rng.choice(list('ACGT'), 150))}\n")
+    return db_dir, reads
+
+
+def _res(qr):
+    r = qr.result
+    return (qr.name, bool(r.is_classified),
+            int(r.classification if r.is_classified else 0),
+            float(np.float32(r.score)), getattr(r, "tax_cnt", None))
+
+
+def test_streaming_equals_resident(stream_db):
+    db_dir, reads = stream_db
+    params = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
+                            batch_size=8)
+    resident = Classifier(str(db_dir), params).classify_file(str(reads))
+    assert sum(1 for q in resident if q.result.is_classified) >= 16
+
+    # quad bytes = 16 * n_kmers; pick a budget forcing >= 4 ranges
+    quad_bytes = 16 * Classifier(str(db_dir), params).index.size
+    budget_gb = (quad_bytes / 3.5) * 2 / (1 << 30)
+    sparams = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
+                             batch_size=8, hbm_budget_gb=budget_gb)
+    clf_s = Classifier(str(db_dir), sparams)
+    assert clf_s._streaming and clf_s._n_ranges >= 4, \
+        f"streaming={clf_s._streaming} ranges={getattr(clf_s, '_n_ranges', 0)}"
+    streamed = clf_s.classify_file(str(reads))
+
+    assert len(resident) == len(streamed) == 24
+    for qs, qt in zip(resident, streamed):
+        assert _res(qs) == _res(qt)
+
+
+def test_streaming_paired(stream_db):
+    db_dir, reads = stream_db
+    # paired synthetic mates from the same reads file is awkward; instead
+    # reuse single-end reads as both mates to exercise the paired extract
+    # path under streaming
+    params = ClassifyParams(seq_mode=2, min_score=0.15, min_sp_score=0.5,
+                            batch_size=8)
+    resident = Classifier(str(db_dir), params).classify_file(str(reads),
+                                                             str(reads))
+    quad_bytes = 16 * Classifier(str(db_dir), params).index.size
+    budget_gb = (quad_bytes / 3.5) * 2 / (1 << 30)
+    sparams = ClassifyParams(seq_mode=2, min_score=0.15, min_sp_score=0.5,
+                             batch_size=8, hbm_budget_gb=budget_gb)
+    clf_s = Classifier(str(db_dir), sparams)
+    assert clf_s._streaming
+    streamed = clf_s.classify_file(str(reads), str(reads))
+    for qs, qt in zip(resident, streamed):
+        assert _res(qs) == _res(qt)
