@@ -73,6 +73,8 @@ def cmd_build(args):
         db_name=args.db_name,
         cds_info_path=args.cds_info,
         orf_prediction=args.orf_prediction,
+        threads=getattr(args, "threads", 1),
+        accession_level=bool(getattr(args, "accession_level", 0)),
     )
     print(f"DB creation completed ({time.time()-t0:.1f}s)")
     print(f"Total k-mer count   : {index.size}")
@@ -569,6 +571,12 @@ def main(argv=None):
     p.add_argument("--db-name", default="")
     p.add_argument("--reference-format", action="store_true",
                    help="also write reference-compatible diffIdx/info/split")
+    p.add_argument("--threads", type=int, default=1,
+                   help="extraction worker processes (0 = all cores)")
+    p.add_argument("--accession-level", type=int, default=0,
+                   help="1 = label k-mers per accession (adds accession "
+                        "nodes under their taxa; classify can then call "
+                        "individual accessions)")
     p.add_argument("--cds-info", default=None,
                    help="GFF3 or TSV of CDS spans: extract in-frame per block")
     p.add_argument("--orf-prediction", action="store_true",

@@ -117,6 +117,40 @@ class Taxonomy:
         tax.merged = merged
         return tax
 
+    def with_accessions(self, accs):
+        """New Taxonomy with one node appended per accession (reference
+        --accession-level 1 build: IndexCreator.cpp:196-200 assigns fresh
+        internal ids to accessions so k-mers can be labeled per sequence
+        and lowerRankClassification can descend to them).
+
+        accs: [(accession_name, parent_internal_id)].  Appended nodes get
+        rank "accession" and fresh original taxids above the current max.
+        Returns (taxonomy, {accession_name: internal_id}).
+        """
+        k = len(accs)
+        n0 = len(self.parent)
+        parent = np.concatenate(
+            [self.parent, np.array([p for _, p in accs], np.int32)])
+        rank_pool = list(self.rank_pool)
+        if "accession" not in rank_pool:
+            rank_pool.append("accession")
+        r_acc = rank_pool.index("accession")
+        rank_idx = np.concatenate(
+            [self.rank_idx, np.full(k, r_acc, np.int32)])
+        name_pool = list(self.name_pool)
+        name_idx = np.concatenate(
+            [self.name_idx,
+             np.arange(len(name_pool), len(name_pool) + k, dtype=np.int32)])
+        name_pool.extend(name for name, _ in accs)
+        next_orig = int(self.int2orig.max(initial=0)) + 1
+        int2orig = np.concatenate(
+            [self.int2orig,
+             np.arange(next_orig, next_orig + k, dtype=np.int64)])
+        tax = Taxonomy(parent, rank_idx, name_idx, rank_pool, name_pool,
+                       int2orig)
+        tax.merged = dict(getattr(self, "merged", {}))
+        return tax, {name: n0 + i for i, (name, _) in enumerate(accs)}
+
     def save(self, path):
         np.savez_compressed(
             path,
