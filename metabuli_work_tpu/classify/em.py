@@ -164,7 +164,7 @@ def run_em(records, classifier, out_dir, job_id, max_iter=1000, tol=1e-6):
         for qi, qr in enumerate(records):
             t, sc = by_q.get(qi, (0, 0.0))
             if t:
-                f.write(f"1\t{qr.name}\t{tax.orig_of(t)}\t{qr.total_length}\t{sc:.4g}\t{tax.rank_of(t)}\n")
+                f.write(f"1\t{qr.name}\t{tax.orig_of(t)}\t{qr.covered_length}\t{sc:.4g}\t{tax.rank_of(t)}\n")
             else:
-                f.write(f"0\t{qr.name}\t0\t{qr.total_length}\t0\t-\n")
+                f.write(f"0\t{qr.name}\t0\t{qr.covered_length}\t0\t-\n")
     print(f"EM re-estimation complete ({len(sp_list)} species, {query_count} mapped reads)")

@@ -67,9 +67,29 @@ class QueryRecord:
     def total_length(self):
         return self.length1 + self.length2
 
+    @property
+    def covered_length(self):
+        """The length the reference REPORTS and scores against:
+        getMaxCoveredLength per mate (Reporter.cpp:56, queryLength)."""
+        out = int(_max_covered(np.array([self.length1]))[0])
+        if self.length2:
+            out += int(_max_covered(np.array([self.length2]))[0])
+        return out
+
 
 def _mesh_size(mesh) -> int:
     return int(np.prod([v for v in mesh.shape.values()])) if mesh else 0
+
+
+def _max_covered(lens):
+    """Reference LocalUtil::getMaxCoveredLength (LocalUtil.h:45-59): the
+    read length rounded down to a multiple of 3 minus 3 — the reference
+    uses THIS as the query length everywhere (score denominator,
+    lower-rank min-match threshold, mate-2 position offset, reported
+    query_length), confirmed by the golden diff vs the reference binary.
+    """
+    lens = np.asarray(lens)
+    return np.maximum(lens - np.choose(lens % 3, [3, 4, 2]), 0)
 
 
 def _fetch_rows(arr):
@@ -751,7 +771,8 @@ class Classifier:
             lens1 = np.asarray(l1)
             lens2 = np.asarray(l2) if l2 is not None else np.zeros(B, dtype=np.int32)
             qlens = np.zeros(B + 1, dtype=np.int64)
-            qlens[1:] = lens1 + lens2
+            qlens[1:] = _max_covered(lens1) + np.where(
+                lens2 > 0, _max_covered(lens2), 0)
             deferred = self.taxonomer.score_paths(pa, qlens, results)
 
         out_ctx = {"names": names, "lens1": lens1, "lens2": lens2,
@@ -1061,7 +1082,8 @@ class Classifier:
             lens2 = np.asarray(l2) if l2 is not None \
                 else np.zeros(B, dtype=np.int32)
             qlens = np.zeros(B_pad + 1, dtype=np.int64)
-            qlens[1:B + 1] = lens1 + lens2
+            qlens[1:B + 1] = _max_covered(lens1) + np.where(
+                lens2 > 0, _max_covered(lens2), 0)
             deferred = self.taxonomer.score_paths(pa, qlens, results)
 
         # reads this process owns (all of them in single-process runs)
@@ -1205,7 +1227,8 @@ class Classifier:
         lens1 = np.asarray(l1)
         lens2 = np.asarray(l2) if l2 is not None else np.zeros(B, np.int32)
         qlens = np.zeros(B + 1, dtype=np.int64)
-        qlens[1:] = lens1 + lens2
+        qlens[1:] = _max_covered(lens1) + np.where(
+            lens2 > 0, _max_covered(lens2), 0)
 
         with self.timer.stage("score"):
             live = rec[0, 1:]
@@ -1336,7 +1359,8 @@ class Classifier:
         lens1 = np.asarray(l1)
         lens2 = np.asarray(l2) if l2 is not None else np.zeros(B, dtype=np.int32)
         qlens = np.zeros(B + 1, dtype=np.int64)
-        qlens[1:] = lens1 + lens2
+        qlens[1:] = _max_covered(lens1) + np.where(
+            lens2 > 0, _max_covered(lens2), 0)
         with self.timer.stage("score"):
             read_results = self.taxonomer.classify_batch(m, qlens, B)
         results = []
@@ -1442,7 +1466,7 @@ class Classifier:
         m = (sort_matches(np.concatenate(all_m)) if all_m
              else np.zeros(0, MATCH_DTYPE))
         self.total_match_cnt += len(m)
-        qlens = np.array([0, L], np.int64)
+        qlens = np.array([0, int(_max_covered(np.array([L]))[0])], np.int64)
         res = self.taxonomer.classify_batch(m, qlens, 1)[0]
         qr = QueryRecord(name, L)
         qr.result = res

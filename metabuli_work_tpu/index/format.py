@@ -100,13 +100,136 @@ def save_index(db_dir, index: KmerIndex, extra_meta=None):
 
 
 def load_index(db_dir) -> KmerIndex:
-    with open(os.path.join(db_dir, DB_META_NAME)) as f:
+    meta_path = os.path.join(db_dir, DB_META_NAME)
+    if not os.path.exists(meta_path) \
+            and os.path.exists(os.path.join(db_dir, "diffIdx")):
+        # a DB built by the reference C++ binary: import it wholesale
+        return load_reference_db(db_dir)
+    with open(meta_path) as f:
         meta = json.load(f)
     values = np.load(os.path.join(db_dir, "kmers.npy"))
     taxids = np.load(os.path.join(db_dir, "infos.npy"))
     species = np.load(os.path.join(db_dir, "species.npy"))
     taxonomy = Taxonomy.load(os.path.join(db_dir, "taxonomy.npz"))
     return KmerIndex(values, taxids, species, taxonomy, meta)
+
+
+def read_db_parameters(path) -> dict:
+    """Parse the reference's db.parameters (key\\tvalue text; writer
+    IndexCreator.cpp:1245-1266) into the native meta dict keys."""
+    kv = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                kv[parts[0]] = parts[1]
+    return {
+        "db_name": kv.get("DB_name", ""),
+        "creation_date": kv.get("Creation_date", ""),
+        "reduced_aa": int(kv.get("Reduced_alphabet", 0) or 0),
+        "accession_level": int(kv.get("Accession_level", 0) or 0),
+        "mask_mode": int(kv.get("Mask_mode", 0) or 0),
+        "mask_prob": float(kv.get("Mask_prob", 0.9) or 0.9),
+        "skip_redundancy": int(kv.get("Skip_redundancy", 1) or 1),
+        "syncmer": bool(int(kv.get("Syncmer", 0) or 0)),
+        "smer_len": int(kv.get("Syncmer_len", 5) or 5),
+        "kmer_format": int(kv.get("Kmer_format", 2) or 2),
+    }
+
+
+def load_reference_taxonomy(path) -> Taxonomy:
+    """Parse a reference taxonomyDB blob into a Taxonomy whose INTERNAL
+    ids equal the reference's internal numbering (so the `info` stream's
+    taxids can be used directly).
+
+    Blob layout (TaxonomyWrapper::serialize, TaxonomyWrapper.cpp:289-360):
+    version i32, [internalTaxIdUsed u64], maxNodes u64, maxTaxID i32,
+    TaxonNode[maxNodes] (i32 id, i32 taxId, i32 parentTaxId, pad, u64
+    rankIdx, u64 nameIdx; 32 B), D i32[maxTaxID+1],
+    [internal2orgTaxId i32[maxTaxID+1]], E/L i32[2*maxNodes],
+    H i32[maxNodes], M i32[2*maxNodes*(log2(2*maxNodes)+1)],
+    StringBlock<u32> (count u32, bytes u32, offsets u32[count+1], chars).
+    """
+    buf = np.fromfile(path, dtype=np.uint8)
+    pos = 0
+
+    def take(dtype, count):
+        nonlocal pos
+        n = np.dtype(dtype).itemsize * count
+        out = buf[pos:pos + n].view(dtype)
+        pos += n
+        return out
+
+    version = int(take(np.int32, 1)[0])
+    if version not in (1, 2, 3):
+        raise ValueError(f"unsupported taxonomyDB version {version}")
+    peek = int(buf[pos:pos + 8].view(np.uint64)[0])
+    use_internal = peek == 1
+    if use_internal:
+        pos += 8
+    max_nodes = int(take(np.uint64, 1)[0])
+    max_taxid = int(take(np.int32, 1)[0])
+    node_rec = np.dtype([("id", "<i4"), ("taxId", "<i4"),
+                         ("parentTaxId", "<i4"), ("pad", "<i4"),
+                         ("rankIdx", "<u8"), ("nameIdx", "<u8")])
+    nodes = buf[pos:pos + max_nodes * 32].view(node_rec)
+    pos += max_nodes * 32
+    D = take(np.int32, max_taxid + 1)
+    if use_internal:
+        int2org = take(np.int32, max_taxid + 1).astype(np.int64)
+    else:
+        int2org = np.arange(max_taxid + 1, dtype=np.int64)
+    pos += 2 * (2 * max_nodes) * 4          # E, L
+    pos += max_nodes * 4                    # H
+    k = int(np.floor(np.log2(max(2 * max_nodes, 2)))) + 1
+    pos += (2 * max_nodes) * k * 4          # M
+    sb_count = int(take(np.uint32, 1)[0])
+    sb_bytes = int(take(np.uint32, 1)[0])
+    offsets = take(np.uint32, sb_count + 1)
+    chars = buf[pos:pos + sb_bytes].tobytes()
+
+    def get_string(idx):
+        if idx >= sb_count:
+            return ""
+        start = int(offsets[idx])
+        end = chars.find(b"\0", start)
+        return chars[start:end if end >= 0 else None].decode(
+            "utf-8", "replace")
+
+    n = max_taxid + 1
+    parent = np.zeros(n, dtype=np.int32)
+    rank_pool, rank_map = ["no rank"], {"no rank": 0}
+    name_pool = ["unclassified"]
+    rank_idx = np.zeros(n, dtype=np.int32)
+    name_idx = np.zeros(n, dtype=np.int32)
+    for i in range(1, n):
+        d = int(D[i])
+        if d < 0 or d >= max_nodes:
+            continue
+        node = nodes[d]
+        parent[i] = int(node["parentTaxId"])
+        rank = get_string(int(node["rankIdx"]))
+        if rank not in rank_map:
+            rank_map[rank] = len(rank_pool)
+            rank_pool.append(rank)
+        rank_idx[i] = rank_map[rank]
+        nm = int(node["nameIdx"])
+        name = get_string(nm) if nm != (1 << 64) - 1 else str(int2org[i])
+        name_idx[i] = len(name_pool)
+        name_pool.append(name)
+    return Taxonomy(parent, rank_idx, name_idx, rank_pool, name_pool,
+                    int2org)
+
+
+def load_reference_db(db_dir) -> KmerIndex:
+    """Load a DB directory produced by the reference C++ binary:
+    taxonomyDB blob + diffIdx/info streams + db.parameters, imported
+    into the native sorted-array index with the reference's internal
+    taxid space preserved."""
+    taxonomy = load_reference_taxonomy(os.path.join(db_dir, "taxonomyDB"))
+    meta = read_db_parameters(os.path.join(db_dir, "db.parameters"))
+    index = import_reference_format(db_dir, taxonomy, meta)
+    return index
 
 
 # --------------------------------------------------------------------- #

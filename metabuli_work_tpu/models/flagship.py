@@ -14,6 +14,13 @@ import jax.numpy as jnp
 from ..ops import encode_jax, match_jax
 
 
+def _max_covered_dev(lens):
+    """getMaxCoveredLength on device: len - (3, 4, 2)[len % 3]."""
+    r = lens % 3
+    sub = jnp.where(r == 0, 3, jnp.where(r == 1, 4, 2))
+    return jnp.maximum(lens - sub, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "kmer_format", "syncmer", "smer_len"))
 def classify_step(reads, lengths, db_values, db_taxids, db_species,
                   cap: int = 16, kmer_format: int = 2,
@@ -65,8 +72,9 @@ def fused_step(reads1, lens1, reads2, lens2, db_values, db_taxids, db_species,
         k2, p2, v2 = encode_jax.extract_batch(reads2, lens2,
                                               syncmer=syncmer, smer_len=smer_len,
                                               kmer_format=kmer_format)
-        # mate-2 positions offset by len1 + 3 (KmerExtractor.cpp:341-345)
-        p2 = p2 + (lens1 + 3)[:, None, None]
+        # mate-2 positions offset by maxCoveredLength(len1) + 3
+        # (KmerExtractor.cpp:341-346: queryLength is getMaxCoveredLength)
+        p2 = p2 + (_max_covered_dev(lens1) + 3)[:, None, None]
         qk2, qp2, qf2, qs2, qv2 = encode_jax.flatten_batch(k2, p2, v2, sids)
         qk = jnp.concatenate([qk, qk2])
         qp = jnp.concatenate([qp, qp2])
@@ -185,7 +193,8 @@ def _extract_all(reads1, lens1, reads2, lens2, ra1, ra2, *, syncmer,
     shapes = [k1.shape]  # (B, 6, W)
     if paired:
         k2, p2, v2 = extract_part(reads2, lens2, ra2)
-        p2 = p2 + (lens1 + 3)[:, None, None]
+        # mate-2 offset: maxCoveredLength(len1) + 3 (KmerExtractor.cpp:341-346)
+        p2 = p2 + (_max_covered_dev(lens1) + 3)[:, None, None]
         parts.append(encode_jax.flatten_batch(k2, p2, v2, sids))
         shapes.append(k2.shape)
     else:
@@ -455,7 +464,9 @@ def fused_step_full(reads1, lens1, reads2, lens2, db_quad,
 
     B = reads1.shape[0]
     qlens = jnp.zeros(B + 1, jnp.int32)
-    qlens = qlens.at[1:].set(lens1 + (lens2 if paired else 0))
+    qlens = qlens.at[1:].set(
+        _max_covered_dev(lens1)
+        + (_max_covered_dev(lens2) if paired else 0))
     records, best_sp, over_k = assign_jax.device_assign(
         paths_packed, stats[1], qlens, ef_node, euler, depth, lift,
         min_score=min_score, tie_ratio=tie_ratio, combine_k=combine_k)

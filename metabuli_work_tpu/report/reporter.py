@@ -42,7 +42,7 @@ def write_classifications(path, records: List[QueryRecord], taxonomy: Taxonomy,
             r = qr.result
             cls = 1 if r.is_classified else 0
             orig = taxonomy.orig_of(r.classification)
-            cols = [str(cls), qr.name, str(orig), str(qr.total_length), _fmt_score(r.score)]
+            cols = [str(cls), qr.name, str(orig), str(qr.covered_length), _fmt_score(r.score)]
             if r.is_classified:
                 cols.append(taxonomy.rank_of(r.classification))
             else:

