@@ -75,6 +75,7 @@ def cmd_build(args):
         orf_prediction=args.orf_prediction,
         threads=getattr(args, "threads", 1),
         accession_level=bool(getattr(args, "accession_level", 0)),
+        gene_predictor=getattr(args, "gene_predictor", "auto"),
     )
     print(f"DB creation completed ({time.time()-t0:.1f}s)")
     print(f"Total k-mer count   : {index.size}")
@@ -582,6 +583,12 @@ def main(argv=None):
     p.add_argument("--orf-prediction", action="store_true",
                    help="extract from predicted extended ORFs (Prodigal's "
                         "role in the reference build) instead of 6 frames")
+    p.add_argument("--gene-predictor", default="auto",
+                   choices=["auto", "prodigal", "heuristic"],
+                   help="with --orf-prediction: 'prodigal' = vendored "
+                        "Prodigal 2.6.3 + reference extended-ORF "
+                        "stitching (DB matches reference builds), "
+                        "'heuristic' = dependency-free maximal-ORF scan")
     p.set_defaults(func=cmd_build)
 
     p = sub.add_parser("classify", help="classify reads against a database")

@@ -324,15 +324,22 @@ def build_database(
     orf_prediction: bool = False,
     threads: int = 1,
     accession_level: bool = False,
+    gene_predictor: str = "auto",
 ):
     """End-to-end `build` command (reference workflow/build.cpp:32-131).
 
     orf_prediction: restrict extraction to predicted extended ORF blocks
-    (index/orf.py) instead of all six frames — the role Prodigal plays
-    in the reference build (IndexCreator.cpp:1124-1212).  Explicit
-    ``--cds-info`` blocks win over prediction per accession.
+    instead of all six frames — the role Prodigal plays in the reference
+    build (IndexCreator.cpp:1124-1212).  Explicit ``--cds-info`` blocks
+    win over prediction per accession.
+    gene_predictor: 'prodigal' = the vendored Prodigal 2.6.3 library
+    with the reference's extended-ORF stitching (index/prodigal.py;
+    bit-compatible with reference-binary DB builds), 'heuristic' = the
+    dependency-free maximal-ORF approximation (index/orf.py), 'auto' =
+    prodigal when its native library is buildable, else heuristic.
     threads: worker processes for masking/ORF/extraction (0 = all cores;
-    the reference's OpenMP batch farm, IndexCreator.cpp:1029-1030)."""
+    the reference's OpenMP batch farm, IndexCreator.cpp:1029-1030) —
+    the prodigal path is sequential (per-species trained state)."""
     taxonomy = Taxonomy.from_taxdump(taxdump_dir)
     acc2taxid = load_acc2taxid(acc2taxid_path)
     cds_info = load_cds_info(cds_info_path) if cds_info_path else {}
@@ -363,6 +370,17 @@ def build_database(
 
     builder = IndexBuilder(taxonomy, syncmer, smer_len, mask_mode, mask_prob, max_ram_gb)
     acc_map_out = []
+    use_prodigal = False
+    if orf_prediction and gene_predictor in ("auto", "prodigal"):
+        from . import prodigal as prodigal_mod
+
+        if prodigal_mod.available():
+            use_prodigal = True
+        elif gene_predictor == "prodigal":
+            raise RuntimeError(
+                "gene_predictor='prodigal' requested but libprodigal.so "
+                "cannot be built (vendored Prodigal sources or a C++ "
+                "toolchain are missing); use gene_predictor='heuristic'")
     # per-species strandness tracking vs the first (training) contig —
     # the reference's min-hash check (IndexCreator.cpp:1158-1212), which
     # there triggers reverse-complement gene re-prediction; here
@@ -386,7 +404,10 @@ def build_database(
                 if rec.name in acc_ids:
                     internal = acc_ids[rec.name]   # accession-level label
                 blocks = cds_info.get(acc)
-                if blocks is None and orf_prediction:
+                if blocks is None and orf_prediction and not use_prodigal:
+                    # prodigal mode does the real check (RC on mismatch);
+                    # the heuristic path only diagnoses, since
+                    # predict_orfs scans both strands anyway
                     from .minhash import minhash_sketch, minhash_similar
 
                     nonlocal n_reversed
@@ -401,7 +422,67 @@ def build_database(
                             n_reversed += 1
                 yield rec, internal, taxid, blocks
 
-    if threads > 1:
+    if use_prodigal:
+        # Prodigal extended-ORF path (reference IndexCreator.cpp:
+        # 1124-1212): per species — train on the longest sequence, seed
+        # the intergenic 23-mer list from its gene calls, then per
+        # sequence min-hash strandness check (reverse-complementing on
+        # mismatch), gene prediction, extended-ORF stitching, in-frame
+        # block extraction.  Sequential: the trained model + evolving
+        # intergenic list are per-species state.
+        from . import prodigal as prodigal_mod
+        from .minhash import minhash_sketch, minhash_similar
+
+        # pre-pass: longest sequence per species = training sequence
+        # (reference IndexCreator.cpp:752-756)
+        longest: dict = {}
+        for fa in fasta_files:
+            for rec in read_fasta(fa):
+                acc = rec.name.split(".")[0]
+                taxid = acc2taxid.get(acc) or acc2taxid.get(rec.name)
+                if taxid is None:
+                    continue
+                internal = taxonomy.to_internal(taxid)
+                if not internal:
+                    continue
+                sp = int(taxonomy.species_of(internal)) or internal
+                if sp not in longest or len(rec.seq) > longest[sp][1]:
+                    longest[sp] = (fa, len(rec.seq), rec.name)
+
+        euk = taxonomy.eukaryota_id()
+        state: dict = {}   # sp -> (runner, intergenic, train_sketch, train_len)
+
+        def _train_species(sp):
+            fa, tlen, tname = longest[sp]
+            tseq = next(r.seq for r in read_fasta(fa) if r.name == tname)
+            runner = prodigal_mod.ProdigalRunner()
+            meta = tlen < 100_000 or (
+                euk and taxonomy.is_ancestor(euk, sp))
+            runner.train(tseq, meta=meta)
+            b, e, s = runner.predict(tseq)
+            intergenic = prodigal_mod.generate_intergenic_kmer_list(
+                b, e, s, tseq)
+            state[sp] = (runner, intergenic, minhash_sketch(tseq), tlen)
+
+        for rec, internal, taxid, blocks in records():
+            if blocks is None:
+                sp = int(taxonomy.species_of(internal)) or internal
+                if sp not in state:
+                    _train_species(sp)
+                runner, intergenic, tsk, tlen = state[sp]
+                seq = rec.seq
+                if not minhash_similar(tsk, minhash_sketch(seq),
+                                       tlen, len(seq)):
+                    seq = prodigal_mod.reverse_complement(seq)
+                    n_reversed += 1
+                b, e, s = runner.predict(seq)
+                blocks = prodigal_mod.get_extended_orfs(
+                    b, e, s, len(seq), intergenic, seq)
+                builder.add_sequence(seq, internal, cds_blocks=blocks)
+            else:
+                builder.add_sequence(rec.seq, internal, cds_blocks=blocks)
+            acc_map_out.append((rec.name, taxid))
+    elif threads > 1:
         # multiprocess extraction farm; the parent keeps the sequential
         # flush/sort/LCA tail and bounds in-flight work to 4x threads
         import multiprocessing as mp
@@ -434,9 +515,14 @@ def build_database(
             builder.add_sequence(rec.seq, internal, cds_blocks=blocks)
             acc_map_out.append((rec.name, taxid))
     if n_reversed:
-        print(f"build: {n_reversed} contigs dissimilar/reverse-oriented vs "
-              f"their species training sequence (extraction is "
-              f"strand-complete; informational)")
+        if use_prodigal:
+            print(f"build: {n_reversed} contigs reverse-complemented to "
+                  f"match their species training sequence strand "
+                  f"(reference IndexCreator.cpp:1180-1212)")
+        else:
+            print(f"build: {n_reversed} contigs dissimilar/reverse-oriented "
+                  f"vs their species training sequence (extraction is "
+                  f"strand-complete; informational)")
 
     index = builder.finalize()
     index.meta["db_name"] = db_name or os.path.basename(str(db_dir))
