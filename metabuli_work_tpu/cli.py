@@ -76,6 +76,7 @@ def cmd_build(args):
         threads=getattr(args, "threads", 1),
         accession_level=bool(getattr(args, "accession_level", 0)),
         gene_predictor=getattr(args, "gene_predictor", "auto"),
+        resume=getattr(args, "resume", False),
     )
     print(f"DB creation completed ({time.time()-t0:.1f}s)")
     print(f"Total k-mer count   : {index.size}")
@@ -589,6 +590,9 @@ def main(argv=None):
                         "Prodigal 2.6.3 + reference extended-ORF "
                         "stitching (DB matches reference builds), "
                         "'heuristic' = dependency-free maximal-ORF scan")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted build from the spill "
+                        "runs checkpointed in <dbdir>/.build_runs")
     p.set_defaults(func=cmd_build)
 
     p = sub.add_parser("classify", help="classify reads against a database")

@@ -145,7 +145,11 @@ class IndexBuilder:
         mask_mode: int = 1,
         mask_prob: float = 0.9,
         max_ram_gb: float = 32.0,
+        tmpdir: str = None,
     ):
+        """tmpdir: spill directory for flush runs.  None = a fresh
+        tempfile dir; a fixed path makes the build resumable (runs
+        adopted across processes via adopt_runs)."""
         self.taxonomy = taxonomy
         self.syncmer = syncmer
         self.smer_len = smer_len
@@ -153,7 +157,10 @@ class IndexBuilder:
         self.mask_prob = mask_prob
         self.flush_kmers = int(max_ram_gb * (1 << 30) / 16 / 2)  # value+ids, x2 sort slack
         self._runs = []
-        self._tmpdir = None
+        self._tmpdir = tmpdir
+        if tmpdir:
+            os.makedirs(tmpdir, exist_ok=True)
+        self.on_flush = None   # callback(run_base_path) after each spill
         self._values = []
         self._taxids = []
         self._species = []
@@ -206,6 +213,17 @@ class IndexBuilder:
         np.save(base + ".t.npy", t)
         np.save(base + ".s.npy", s)
         self._runs.append(base)
+        if self.on_flush is not None:
+            self.on_flush(base)
+
+    def adopt_runs(self, run_bases):
+        """Resume support: register previously spilled runs (each a base
+        path with .v/.t/.s.npy files) written by an earlier process."""
+        for base in run_bases:
+            for ext in (".v.npy", ".t.npy", ".s.npy"):
+                if not os.path.exists(base + ext):
+                    raise FileNotFoundError(f"resume run missing {base}{ext}")
+        self._runs = list(run_bases)
 
     def _merge_runs_streaming(self):
         """Bounded-memory k-way merge of the spilled runs.
@@ -325,6 +343,7 @@ def build_database(
     threads: int = 1,
     accession_level: bool = False,
     gene_predictor: str = "auto",
+    resume: bool = False,
 ):
     """End-to-end `build` command (reference workflow/build.cpp:32-131).
 
@@ -339,7 +358,16 @@ def build_database(
     prodigal when its native library is buildable, else heuristic.
     threads: worker processes for masking/ORF/extraction (0 = all cores;
     the reference's OpenMP batch farm, IndexCreator.cpp:1029-1030) —
-    the prodigal path is sequential (per-species trained state)."""
+    the prodigal path is sequential (per-species trained state).
+    resume: continue an interrupted build at flush granularity.  Spill
+    runs live in <db_dir>/.build_runs with a manifest recording how many
+    input records each flushed run covers; a resumed build adopts the
+    runs and skips those records.  (The reference's flush files are
+    resumable the same way but its hooks are commented out,
+    workflow/build.cpp:110-113.)  Note: with gene_predictor='prodigal',
+    a species whose contigs straddle the resume point re-seeds its
+    intergenic k-mer list, which can shift extension directions for the
+    remaining contigs of that species vs an uninterrupted build."""
     taxonomy = Taxonomy.from_taxdump(taxdump_dir)
     acc2taxid = load_acc2taxid(acc2taxid_path)
     cds_info = load_cds_info(cds_info_path) if cds_info_path else {}
@@ -368,8 +396,51 @@ def build_database(
                         accs.append((name, internal))
         taxonomy, acc_ids = taxonomy.with_accessions(accs)
 
-    builder = IndexBuilder(taxonomy, syncmer, smer_len, mask_mode, mask_prob, max_ram_gb)
-    acc_map_out = []
+    # --- resumable spill state (flush-granularity checkpointing) ---
+    import hashlib
+    import json
+
+    spill_dir = os.path.join(str(db_dir), ".build_runs")
+    manifest_path = os.path.join(spill_dir, "manifest.json")
+    with open(fasta_list_path, "rb") as f:
+        sig = hashlib.md5(f.read()).hexdigest()[:16]
+    sig += f"|{syncmer}|{smer_len}|{mask_mode}|{mask_prob}|" \
+           f"{orf_prediction}|{gene_predictor}|{accession_level}|{max_ram_gb}"
+    skip_records = 0
+    restored_acc_map = []
+    restored_observed = []
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            man = json.load(f)
+        if man.get("sig") != sig:
+            raise RuntimeError(
+                "build --resume: manifest parameters differ from this "
+                "invocation; delete "
+                f"{spill_dir} to start over")
+        skip_records = int(man["processed"])
+        restored_acc_map = [tuple(x) for x in man["acc_map"]]
+        restored_observed = man.get("observed", [])
+        print(f"build: resuming after {skip_records} processed records, "
+              f"{len(man['runs'])} spilled runs adopted")
+
+    builder = IndexBuilder(taxonomy, syncmer, smer_len, mask_mode, mask_prob,
+                           max_ram_gb, tmpdir=spill_dir)
+    if skip_records:
+        builder.adopt_runs(man["runs"])
+        builder.observed_taxids.update(int(t) for t in restored_observed)
+    acc_map_out = list(restored_acc_map)
+    progress = {"done": skip_records}
+
+    def _on_flush(_base):
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"sig": sig, "processed": progress["done"],
+                       "runs": builder._runs,
+                       "acc_map": acc_map_out,
+                       "observed": sorted(builder.observed_taxids)}, f)
+        os.replace(tmp, manifest_path)
+
+    builder.on_flush = _on_flush
     use_prodigal = False
     if orf_prediction and gene_predictor in ("auto", "prodigal"):
         from . import prodigal as prodigal_mod
@@ -422,6 +493,17 @@ def build_database(
                             n_reversed += 1
                 yield rec, internal, taxid, blocks
 
+    def input_records():
+        """records() minus the prefix already covered by adopted runs.
+        A record whose k-mers reached a flushed run but whose manifest
+        update raced a crash is re-extracted on resume; the duplicate
+        (value, species, taxid) rows collapse in the LCA dedup."""
+        it = records()
+        for _ in range(skip_records):
+            if next(it, None) is None:
+                return
+        yield from it
+
     if use_prodigal:
         # Prodigal extended-ORF path (reference IndexCreator.cpp:
         # 1124-1212): per species — train on the longest sequence, seed
@@ -464,7 +546,9 @@ def build_database(
                 b, e, s, tseq)
             state[sp] = (runner, intergenic, minhash_sketch(tseq), tlen)
 
-        for rec, internal, taxid, blocks in records():
+        for rec, internal, taxid, blocks in input_records():
+            acc_map_out.append((rec.name, taxid))
+            progress["done"] += 1
             if blocks is None:
                 sp = int(taxonomy.species_of(internal)) or internal
                 if sp not in state:
@@ -481,7 +565,6 @@ def build_database(
                 builder.add_sequence(seq, internal, cds_blocks=blocks)
             else:
                 builder.add_sequence(rec.seq, internal, cds_blocks=blocks)
-            acc_map_out.append((rec.name, taxid))
     elif threads > 1:
         # multiprocess extraction farm; the parent keeps the sequential
         # flush/sort/LCA tail and bounds in-flight work to 4x threads
@@ -493,27 +576,32 @@ def build_database(
         with ProcessPoolExecutor(max_workers=threads,
                                  mp_context=ctx) as pool:
             pending: deque = deque()
-            for rec, internal, taxid, blocks in records():
+
+            def _drain_one():
+                f, itl, nm, tid = pending.popleft()
+                kmers = f.result()
+                acc_map_out.append((nm, tid))
+                progress["done"] += 1
+                builder.add_kmers(kmers, itl)
+
+            for rec, internal, taxid, blocks in input_records():
                 fut = pool.submit(_extract_worker,
                                   (rec.seq, mask_mode, mask_prob, syncmer,
                                    smer_len, blocks, orf_prediction))
                 pending.append((fut, internal, rec.name, taxid))
                 while len(pending) > 4 * threads:
-                    f, itl, nm, tid = pending.popleft()
-                    builder.add_kmers(f.result(), itl)
-                    acc_map_out.append((nm, tid))
+                    _drain_one()
             while pending:
-                f, itl, nm, tid = pending.popleft()
-                builder.add_kmers(f.result(), itl)
-                acc_map_out.append((nm, tid))
+                _drain_one()
     else:
-        for rec, internal, taxid, blocks in records():
+        for rec, internal, taxid, blocks in input_records():
             if blocks is None and orf_prediction:
                 from .orf import predict_orfs
 
                 blocks = predict_orfs(rec.seq) or None
-            builder.add_sequence(rec.seq, internal, cds_blocks=blocks)
             acc_map_out.append((rec.name, taxid))
+            progress["done"] += 1
+            builder.add_sequence(rec.seq, internal, cds_blocks=blocks)
     if n_reversed:
         if use_prodigal:
             print(f"build: {n_reversed} contigs reverse-complemented to "
@@ -540,4 +628,11 @@ def build_database(
                 f.write(f"{name}\t{int(index.taxonomy.orig_of(internal))}\n")
     if write_reference_format:
         export_reference_format(db_dir, index)
+    # build complete: drop the resume checkpoint and spilled merge files
+    # (the returned index's memmaps stay readable through their open
+    # handles; Linux keeps the unlinked inodes until close)
+    if os.path.isdir(spill_dir):
+        for fn in os.listdir(spill_dir):
+            os.unlink(os.path.join(spill_dir, fn))
+        os.rmdir(spill_dir)
     return index

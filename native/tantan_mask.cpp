@@ -51,16 +51,20 @@ inline double ratio(uint8_t a, uint8_t b) {
 
 void mask_chunk(const uint8_t *code, int64_t n, double min_mask_prob,
                 uint8_t *repeat_mask) {
-    // offset priors: p_d proportional to DECAY^(d-1)
-    static double b2r_d[C + 1];
-    static bool init = false;
-    if (!init) {
+    // offset priors: p_d proportional to DECAY^(d-1).  Built via a
+    // C++11 thread-safe static initializer — the previous lazy
+    // `if (!init)` fill raced between chunk workers (caught by the
+    // tests/test_native_sanitizers.py TSan gate).
+    struct OffsetPrior { double v[C + 1]; };
+    static const OffsetPrior b2r_prior = [] {
+        OffsetPrior p{};
         double norm = 0.0, w = 1.0;
         for (int d = 1; d <= C; ++d) { norm += w; w *= DECAY; }
         w = 1.0;
-        for (int d = 1; d <= C; ++d) { b2r_d[d] = B2R * (w / norm); w *= DECAY; }
-        init = true;
-    }
+        for (int d = 1; d <= C; ++d) { p.v[d] = B2R * (w / norm); w *= DECAY; }
+        return p;
+    }();
+    const double *b2r_d = b2r_prior.v;
 
     // forward pass, scaled per position; the repeat states are stored
     // fully (C doubles per position — affordable because of chunking)
