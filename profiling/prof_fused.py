@@ -49,9 +49,11 @@ def main():
     r1 = jnp.asarray(np.ascontiguousarray(reads[:B.BATCH]))
     j1 = jnp.asarray(lens)
 
+    dbq = jax.device_put(clf.db_quad)
+
     def upto(stage):
         @jax.jit
-        def fn(r1, j1):
+        def fn(r1, j1, dbq):
             kk, pp, vv = encode_jax.extract_batch(r1, j1, syncmer=True,
                                                   smer_len=5, kmer_format=2)
             if stage == "encode":
@@ -69,18 +71,18 @@ def main():
             lo = match_jax._bucket_search(q_aa, qv, clf.bucket_lo,
                                           clf.db_aa_lo, clf.bucket_shift,
                                           clf.bucket_steps,
-                                          clf.db_quad.shape[0])
+                                          dbq.shape[0])
             if stage == "search":
                 return lo.sum()
-            M = clf.db_quad.shape[0]
+            M = dbq.shape[0]
             offs = jnp.arange(cap + 1, dtype=jnp.int32)[:, None]
             pos = lo[None, :] + offs
             idx = jnp.clip(pos, 0, M - 1)
-            t_quad = clf.db_quad[idx]
+            t_quad = dbq[idx]
             if stage == "gather":
                 return t_quad.sum()
             out = match_jax.match_kmers_quad(
-                qk, qf, qv, clf.db_quad, cap=cap, kmer_format=2,
+                qk, qf, qv, dbq, cap=cap, kmer_format=2,
                 bucket_lo=clf.bucket_lo, db_aa_lo=clf.db_aa_lo,
                 bucket_shift=clf.bucket_shift, bucket_steps=clf.bucket_steps)
             if stage == "probe":
@@ -117,7 +119,7 @@ def main():
     prev = 0.0
     for stage in ["encode", "compact_win", "flatten", "search", "gather",
                   "probe", "sortcand", "dp", "compact_cols"]:
-        t = timeit(upto(stage), r1, j1)
+        t = timeit(upto(stage), r1, j1, dbq)
         print(f"upto {stage:12s}: {t:7.1f} ms  (+{t - prev:6.1f})", flush=True)
         prev = t
 
