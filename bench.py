@@ -225,13 +225,16 @@ def main():
     params = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
                             batch_size=BATCH)
     clf = Classifier.from_memory(index, params)
-    # pre-seed the adaptive capacity knobs for this workload: every
-    # overflow retry recompiles the fused step (~2 min through the
-    # tunnel), so start where the knobs would converge anyway
-    clf._win_frac = 256
-    clf._path_block = 64
-    clf._path_width = 1 << 18
-    clf._path_estimate = 1 << 16
+    # pre-seed the adaptive capacity knobs with the values this workload
+    # settles at (profiling/prof_pipe.py prints them after warmup), so
+    # the measured loop reuses one cached executable.  NOTE r02: the
+    # previous preseeds (win_frac=256, path_block=64, path_width=2^18)
+    # OVERSHOT the settled values 4x and cost 8.4x throughput — never
+    # preseed above what warmup converges to.
+    clf._win_frac = 184
+    clf._path_block = 16
+    clf._path_width = 1 << 16
+    clf._path_estimate = 28672
 
     names = [f"r{i}" for i in range(BATCH)]
 
