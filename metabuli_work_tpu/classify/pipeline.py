@@ -346,16 +346,31 @@ class Classifier:
             self._sharded_cache: dict = {}
             self._sharded_red_cache: dict = {}
             return
-        self.db_quad = jnp.asarray(pack_db_quad(self.index.values, db_ef,
-                                                sp_euk))
+        # resident single-chip index: 64-byte block rows (4 entries per
+        # row) — wider gather rows run ~2x the bytes/s of entry rows on
+        # v5e, so the candidate fetch reads aligned blocks and shuffles
+        # the window out on the VPU (match_jax._gather_blocks)
+        from ..ops.match_jax import pack_db_blocks
+
+        self.db_m = len(self.index.values)
+        self.db_quad = jnp.asarray(pack_db_blocks(
+            pack_db_quad(self.index.values, db_ef, sp_euk)))
         # AA-part hash table: `chain` row gathers resolve each query's
         # run start vs 1 + bucket_steps chained gathers for the bucket
         # bisection (the bisection was the single largest device cost,
         # ~15 ms of the 22 ms step).  METABULI_HASH_PROBE=0 restores the
         # bisection.
         if os.environ.get("METABULI_HASH_PROBE", "1") == "1":
+            # max_chain=2: one extra table doubling buys a 3->2 cut in
+            # the chained [N] row gathers, the second-largest device cost
+            # (each 190k x 64B gather is ~4.3 ms on v5e; gathers are
+            # byte-bound at ~1.5-3.5 GB/s, profiling/prof_gather_model.py)
+            # METABULI_HASH_CHAIN=1 doubles the table again for a single
+            # unchained gather (fastest, ~4x quad bytes of HBM);
+            # =3 restores the smallest table
+            mc = int(os.environ.get("METABULI_HASH_CHAIN", "2"))
             ht, self.hash_log2_rows, self.hash_chain = \
-                build_aa_hash(self.index.values)
+                build_aa_hash(self.index.values, max_chain=mc)
             self.hash_table = jnp.asarray(ht)
         else:
             self.hash_table = None
@@ -573,6 +588,7 @@ class Classifier:
                 hash_table=self.hash_table,
                 hash_log2_rows=self.hash_log2_rows,
                 hash_chain=self.hash_chain,
+                db_m=self.db_m,
             )
             # column 0 is the stats header; one async copy carries both
             # the stats and the estimated path prefix home
@@ -1161,7 +1177,7 @@ class Classifier:
                 n_quot=n_quot, part_w=part_w,
                 hash_table=self.hash_table,
                 hash_log2_rows=self.hash_log2_rows,
-                hash_chain=self.hash_chain)
+                hash_chain=self.hash_chain, db_m=self.db_m)
             for arr in (records, packed2):
                 try:
                     arr.copy_to_host_async()

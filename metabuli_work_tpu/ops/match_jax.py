@@ -137,6 +137,9 @@ def build_aa_hash(values: np.ndarray, load: float = 2.5,
     # min_log2_rows: mesh-sharded probes need one uniform table geometry
     # across all index shards (the row count is a static jit arg)
     log2_rows = max(8, int(np.ceil(np.log2(max(n / load, 1)))), min_log2_rows)
+    # termination guard: never grow the table past 4 rows per unique key
+    # (~20 slots/key) chasing a shorter chain — return the chain reached
+    max_log2_rows = max(log2_rows, int(np.ceil(np.log2(max(n, 2)))) + 2)
     while True:
         R = 1 << log2_rows
         h = (((lo32 * _HASH_MUL1) ^ (hi8 * _HASH_MUL2))
@@ -152,7 +155,9 @@ def build_aa_hash(values: np.ndarray, load: float = 2.5,
         row_of = q // HASH_SLOTS
         slot_of = q % HASH_SLOTS
         chain = int((row_of - h[order]).max(initial=0)) + 1
-        if chain <= max_chain and (n == 0 or int(row_of[-1]) < R):
+        fits = n == 0 or int(row_of[-1]) < R
+        if (chain <= max_chain and fits) \
+                or (fits and log2_rows >= max_log2_rows):
             break
         log2_rows += 1
     table = np.zeros((R, HASH_ROW_U32), dtype=np.uint32)
@@ -204,6 +209,47 @@ def pack_db_quad(values: np.ndarray, euler_first: np.ndarray,
     return quad
 
 
+def pack_db_blocks(quad: np.ndarray, pad_entries: int = 256) -> np.ndarray:
+    """Reshape a [M, 4] u32 quad DB into 64-byte block rows [R, 16]
+    (4 entries per row), padded with sentinel entries whose AA part is
+    all-ones (no 5-bit AA group can be 31, so they never match a query).
+
+    Rationale: TPU gathers are byte-bound with better throughput for
+    wider rows (~1.5 GB/s at 16 B vs ~3.1 GB/s at 64 B,
+    profiling/prof_gather_model.py), so the candidate window fetch reads
+    ceil((cap+4)/4) aligned blocks per query instead of cap+1 entry rows
+    and shuffles the window out on the VPU (_gather_blocks)."""
+    m = len(quad)
+    total = ((m + pad_entries + 3) // 4) * 4
+    blk = np.full((total, 4), 0xFFFFFFFF, dtype=np.uint32)
+    blk[:m] = quad
+    return blk.reshape(total // 4, 16)
+
+
+def _gather_blocks(db_blk, lo, cap):
+    """[cap+1, N, 4] candidate quads from 64-byte block rows.
+
+    Fetches nblk = (cap+7)//4 consecutive blocks starting at lo>>2; the
+    window entry j sits at in-superblock offset (lo&3)+j, selected with
+    4 vector compares (lo&3 is in [0, 3])."""
+    R = db_blk.shape[0]
+    n = lo.shape[0]
+    nblk = (cap + 7) // 4
+    b0 = lo >> 2
+    blocks = [db_blk[jnp.clip(b0 + k, 0, R - 1)].reshape(n, 4, 4)
+              for k in range(nblk)]
+    ent = jnp.concatenate(blocks, axis=1)        # [N, 4*nblk, 4]
+    r = (lo & 3).astype(jnp.int32)
+    outs = []
+    for j in range(cap + 1):
+        sel_idx = r + j
+        acc = jnp.zeros((n, 4), db_blk.dtype)
+        for t in range(j, j + 4):
+            acc = jnp.where((sel_idx == t)[:, None], ent[:, t, :], acc)
+        outs.append(acc)
+    return jnp.stack(outs, axis=0)
+
+
 def _bucket_search(q_aa, q_valid, bucket_lo, db_aa_lo, bucket_shift,
                    bucket_steps, M):
     """Left-edge binary search: ONE bucket-pair row gather + low-32-bit
@@ -238,8 +284,12 @@ def match_kmers_quad(
     hash_table=None,
     hash_log2_rows: int = 0,
     hash_chain: int = 0,
+    db_m: int = None,
 ):
     """Probe a u32-quad-packed DB (see pack_db_quad) — cap-MAJOR layout.
+
+    db_quad may instead be 64-byte block rows ([R, 16], pack_db_blocks);
+    then db_m (the true entry count) is required.
 
     Single-gather variant of match_kmers_cm: the [cap+1, N] candidate
     window gathers one [M, 4] u32 row per slot; AA-run membership is a
@@ -253,7 +303,11 @@ def match_kmers_quad(
     row gathers instead of 1 + `bucket_steps` chained gathers.
     """
     U32 = jnp.uint32
-    M = db_quad.shape[0]
+    if db_quad.shape[1] == 16:
+        assert db_m is not None, "block-row DB requires db_m"
+        M = db_m
+    else:
+        M = db_m if db_m is not None else db_quad.shape[0]
     q_aa = q_kmers >> _U64(DNA_BITS)
     if lo_override is not None:
         lo = lo_override
@@ -265,8 +319,16 @@ def match_kmers_quad(
 
     offs = jnp.arange(cap + 1, dtype=jnp.int32)[:, None]
     pos = lo[None, :] + offs
-    idx = jnp.clip(pos, 0, M - 1)
-    t_quad = db_quad[idx]                       # [cap+1, N, 4]
+    if db_quad.shape[1] == 16:
+        # 64-byte block rows (4 entries each, pack_db_blocks): gathers
+        # are byte-bound at ~1.5 GB/s for 16 B rows but ~3.1 GB/s for
+        # 64 B rows (profiling/prof_gather_model.py), so fetching
+        # ceil((cap+4)/4) aligned blocks and shuffling the cap+1
+        # entries out on the VPU beats cap+1 narrow row gathers ~25%
+        t_quad = _gather_blocks(db_quad, lo, cap)
+    else:
+        idx = jnp.clip(pos, 0, M - 1)
+        t_quad = db_quad[idx]                   # [cap+1, N, 4]
     v_lo = t_quad[..., 0]
     v_hi = t_quad[..., 1]
     # AA equality on the split halves: high 32 AA bits live in v_hi,

@@ -70,21 +70,17 @@ def main():
             q_aa = qk >> jnp.uint64(24)
             lo = match_jax._bucket_search(q_aa, qv, clf.bucket_lo,
                                           clf.db_aa_lo, clf.bucket_shift,
-                                          clf.bucket_steps,
-                                          dbq.shape[0])
+                                          clf.bucket_steps, clf.db_m)
             if stage == "search":
                 return lo.sum()
-            M = dbq.shape[0]
-            offs = jnp.arange(cap + 1, dtype=jnp.int32)[:, None]
-            pos = lo[None, :] + offs
-            idx = jnp.clip(pos, 0, M - 1)
-            t_quad = dbq[idx]
+            t_quad = match_jax._gather_blocks(dbq, lo, cap)
             if stage == "gather":
                 return t_quad.sum()
             out = match_jax.match_kmers_quad(
                 qk, qf, qv, dbq, cap=cap, kmer_format=2,
                 bucket_lo=clf.bucket_lo, db_aa_lo=clf.db_aa_lo,
-                bucket_shift=clf.bucket_shift, bucket_steps=clf.bucket_steps)
+                bucket_shift=clf.bucket_shift, bucket_steps=clf.bucket_steps,
+                db_m=clf.db_m)
             if stage == "probe":
                 return (out["sel"].sum() + out["rh"].sum()
                         + out["hamming"].sum()

@@ -109,3 +109,29 @@ def test_match_overflow_reported():
     # overflow = #queries whose AA run exceeded cap (retry signal, not a
     # dropped-candidate count)
     assert int(np.asarray(out["overflow"])) == 1
+
+
+def test_block_gather_equals_row_gather():
+    """pack_db_blocks + _gather_blocks must reproduce the plain
+    [cap+1, N] row gather exactly (incl. clamped tails and the sentinel
+    padding past db_m)."""
+    import jax.numpy as jnp
+
+    from metabuli_work_tpu.ops import match_jax
+
+    rng = np.random.default_rng(11)
+    m, n = 3001, 257
+    quad = rng.integers(0, 2**32, size=(m, 4), dtype=np.uint32)
+    blk = match_jax.pack_db_blocks(quad)
+    assert blk.shape[1] == 16
+    for cap in (4, 8, 16):
+        lo = rng.integers(0, m + 1, size=n).astype(np.int32)  # incl. miss=m
+        got = np.asarray(match_jax._gather_blocks(
+            jnp.asarray(blk), jnp.asarray(lo), cap))
+        offs = np.arange(cap + 1)[:, None]
+        pos = lo[None, :] + offs
+        pad = np.full((cap + 8, 4), 0xFFFFFFFF, dtype=np.uint32)
+        quad_pad = np.concatenate([quad, pad])
+        want = quad_pad[pos]
+        assert got.shape == want.shape
+        assert (got == want).all()
