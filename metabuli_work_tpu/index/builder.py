@@ -326,121 +326,26 @@ class IndexBuilder:
         return KmerIndex(v, t, s, self.taxonomy, meta)
 
 
-def build_database(
-    db_dir,
-    fasta_list_path,
-    acc2taxid_path,
-    taxdump_dir,
-    syncmer: bool = False,
-    smer_len: int = 5,
-    mask_mode: int = 1,
-    mask_prob: float = 0.9,
-    max_ram_gb: float = 32.0,
-    write_reference_format: bool = False,
-    db_name: str = "",
-    cds_info_path: str = None,
-    orf_prediction: bool = False,
-    threads: int = 1,
-    accession_level: bool = False,
-    gene_predictor: str = "auto",
-    resume: bool = False,
-):
-    """End-to-end `build` command (reference workflow/build.cpp:32-131).
+def extract_records(builder, taxonomy, fasta_files, acc2taxid, *,
+                    cds_info=None, acc_ids=None, orf_prediction=False,
+                    gene_predictor="auto", threads=1, force_prodigal=False,
+                    skip_records=0, acc_map_out=None, progress=None):
+    """Feed every (accession-mapped) record of `fasta_files` into
+    `builder`, with the same extraction semantics as the reference's
+    fillTargetKmerBuffer (IndexCreator.cpp:1008-1234): optional user CDS
+    blocks, Prodigal per-batch extended-ORF prediction, heuristic ORF
+    fallback, or whole-sequence 6-frame extraction.  Shared by `build`
+    and `updateDB` (the reference funnels both through IndexCreator).
 
-    orf_prediction: restrict extraction to predicted extended ORF blocks
-    instead of all six frames — the role Prodigal plays in the reference
-    build (IndexCreator.cpp:1124-1212).  Explicit ``--cds-info`` blocks
-    win over prediction per accession.
-    gene_predictor: 'prodigal' = the vendored Prodigal 2.6.3 library
-    with the reference's extended-ORF stitching (index/prodigal.py;
-    bit-compatible with reference-binary DB builds), 'heuristic' = the
-    dependency-free maximal-ORF approximation (index/orf.py), 'auto' =
-    prodigal when its native library is buildable, else heuristic.
-    threads: worker processes for masking/ORF/extraction (0 = all cores;
-    the reference's OpenMP batch farm, IndexCreator.cpp:1029-1030) —
-    the prodigal path is sequential (per-species trained state).
-    resume: continue an interrupted build at flush granularity.  Spill
-    runs live in <db_dir>/.build_runs with a manifest recording how many
-    input records each flushed run covers; a resumed build adopts the
-    runs and skips those records.  (The reference's flush files are
-    resumable the same way but its hooks are commented out,
-    workflow/build.cpp:110-113.)  Note: with gene_predictor='prodigal',
-    a species whose contigs straddle the resume point re-seeds its
-    intergenic k-mer list, which can shift extension directions for the
-    remaining contigs of that species vs an uninterrupted build."""
-    taxonomy = Taxonomy.from_taxdump(taxdump_dir)
-    acc2taxid = load_acc2taxid(acc2taxid_path)
-    cds_info = load_cds_info(cds_info_path) if cds_info_path else {}
-
-    with open(fasta_list_path) as f:
-        fasta_files = [ln.strip() for ln in f if ln.strip()]
-
-    acc_ids: dict = {}
-    if accession_level:
-        # header-only pre-pass: append one taxonomy node per accession so
-        # k-mers are labeled per sequence (reference --accession-level 1,
-        # IndexCreator.cpp:196-200 + accession2index)
-        accs = []
-        for fa in fasta_files:
-            with open(fa) as f:
-                for line in f:
-                    if not line.startswith(">"):
-                        continue
-                    name = line[1:].split()[0]
-                    taxid = acc2taxid.get(name.split(".")[0]) \
-                        or acc2taxid.get(name)
-                    if taxid is None:
-                        continue
-                    internal = taxonomy.to_internal(taxid)
-                    if internal:
-                        accs.append((name, internal))
-        taxonomy, acc_ids = taxonomy.with_accessions(accs)
-
-    # --- resumable spill state (flush-granularity checkpointing) ---
-    import hashlib
-    import json
-
-    spill_dir = os.path.join(str(db_dir), ".build_runs")
-    manifest_path = os.path.join(spill_dir, "manifest.json")
-    with open(fasta_list_path, "rb") as f:
-        sig = hashlib.md5(f.read()).hexdigest()[:16]
-    sig += f"|{syncmer}|{smer_len}|{mask_mode}|{mask_prob}|" \
-           f"{orf_prediction}|{gene_predictor}|{accession_level}|{max_ram_gb}"
-    skip_records = 0
-    restored_acc_map = []
-    restored_observed = []
-    if resume and os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            man = json.load(f)
-        if man.get("sig") != sig:
-            raise RuntimeError(
-                "build --resume: manifest parameters differ from this "
-                "invocation; delete "
-                f"{spill_dir} to start over")
-        skip_records = int(man["processed"])
-        restored_acc_map = [tuple(x) for x in man["acc_map"]]
-        restored_observed = man.get("observed", [])
-        print(f"build: resuming after {skip_records} processed records, "
-              f"{len(man['runs'])} spilled runs adopted")
-
-    builder = IndexBuilder(taxonomy, syncmer, smer_len, mask_mode, mask_prob,
-                           max_ram_gb, tmpdir=spill_dir)
-    if skip_records:
-        builder.adopt_runs(man["runs"])
-        builder.observed_taxids.update(int(t) for t in restored_observed)
-    acc_map_out = list(restored_acc_map)
-    progress = {"done": skip_records}
-
-    def _on_flush(_base):
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"sig": sig, "processed": progress["done"],
-                       "runs": builder._runs,
-                       "acc_map": acc_map_out,
-                       "observed": sorted(builder.observed_taxids)}, f)
-        os.replace(tmp, manifest_path)
-
-    builder.on_flush = _on_flush
+    acc_map_out/progress: optional resume bookkeeping (build_database's
+    manifest machinery); skip_records skips a resumed prefix.
+    """
+    cds_info = cds_info or {}
+    acc_ids = acc_ids or {}
+    if acc_map_out is None:
+        acc_map_out = []
+    if progress is None:
+        progress = {"done": skip_records}
     use_prodigal = False
     if orf_prediction and gene_predictor in ("auto", "prodigal"):
         from . import prodigal as prodigal_mod
@@ -491,7 +396,7 @@ def build_database(
                         if not minhash_similar(tsk, minhash_sketch(rec.seq),
                                                tlen, len(rec.seq)):
                             n_reversed += 1
-                yield rec, internal, taxid, blocks
+                yield rec, internal, taxid, blocks, fa
 
     def input_records():
         """records() minus the prefix already covered by adopted runs.
@@ -505,18 +410,23 @@ def build_database(
         yield from it
 
     if use_prodigal:
-        # Prodigal extended-ORF path (reference IndexCreator.cpp:
-        # 1124-1212): per species — train on the longest sequence, seed
-        # the intergenic 23-mer list from its gene calls, then per
-        # sequence min-hash strandness check (reverse-complementing on
-        # mismatch), gene prediction, extended-ORF stitching, in-frame
-        # block extraction.  Sequential: the trained model + evolving
-        # intergenic list are per-species state.
+        # Prodigal extended-ORF path with the reference's per-BATCH
+        # state (IndexCreator.cpp:1029-1057 batch caps, :1124-1145
+        # per-batch training): accession batches never span a
+        # (species, fasta) boundary and are capped at 300 seqs / 100 Mb
+        # / (100 seqs & 50 Mb) / the k-mer buffer estimate; every batch
+        # gets a FRESH ProdigalWrapper, retrains on the species' longest
+        # sequence, and re-seeds the intergenic 23-mer list from its
+        # gene calls (`intergenicKmers.clear()`, :1037).  Freeing the
+        # runner at each batch boundary also bounds native-buffer
+        # memory to one ~60 MB runner at a time, like the reference's
+        # per-batch new/delete.
         from . import prodigal as prodigal_mod
         from .minhash import minhash_sketch, minhash_similar
 
-        # pre-pass: longest sequence per species = training sequence
-        # (reference IndexCreator.cpp:752-756)
+        # pre-pass: longest sequence per species = training sequence,
+        # shared by all of the species' batches (reference
+        # IndexCreator.cpp:752-756,778-780)
         longest: dict = {}
         for fa in fasta_files:
             for rec in read_fasta(fa):
@@ -531,37 +441,85 @@ def build_database(
                 if sp not in longest or len(rec.seq) > longest[sp][1]:
                     longest[sp] = (fa, len(rec.seq), rec.name)
 
-        euk = taxonomy.eukaryota_id()
-        state: dict = {}   # sp -> (runner, intergenic, train_sketch, train_len)
+        meta_warned: set = set()
+        batch = None   # open accession batch; None until first record
 
-        def _train_species(sp):
-            fa, tlen, tname = longest[sp]
-            tseq = next(r.seq for r in read_fasta(fa) if r.name == tname)
+        def _open_batch(sp, fa):
+            """Fresh per-batch state; training is lazy (the reference
+            trains on the first sequence that actually needs Prodigal,
+            `trained=false` per batch, IndexCreator.cpp:1057,1124)."""
+            return {"sp": sp, "fa": fa, "runner": None, "intergenic": None,
+                    "tsk": None, "tlen": 0, "fallback": False,
+                    "len_sum": 0, "cnt": 0, "kmer_sum": 0.0, "full": False}
+
+        def _train_batch(b):
+            fa_t, tlen, tname = longest[b["sp"]]
+            # The reference's eukaryote meta clause calls
+            # IsAncestor(speciesID, eukID) with (ancestor, child)
+            # argument order (IndexCreator.cpp:1137) — a species is
+            # never an ancestor of Eukaryota, so the clause never
+            # fires: >=100 kb eukaryotic training sequences use
+            # single-genome mode.  Matched here by using only tlen.
+            meta = tlen < 100_000
+            if meta and not force_prodigal:
+                # The vendored Prodigal snapshot lacks training.cpp's
+                # metagenomic models (only training.h exists in
+                # /root/reference/lib/prodigal), so meta-mode gene
+                # calls are degenerate.  Fall back to 6-frame-superset
+                # extraction for this species unless forced.
+                if b["sp"] not in meta_warned:
+                    meta_warned.add(b["sp"])
+                    print(f"build: WARNING species {b['sp']} training "
+                          f"sequence is {tlen} bp < 100 kb; Prodigal "
+                          f"meta-mode models are unavailable in this "
+                          f"vendored snapshot — using 6-frame-superset "
+                          f"extraction (pass force_prodigal=True to "
+                          f"override)")
+                b["fallback"] = True
+                return
+            tseq = next(r.seq for r in read_fasta(fa_t) if r.name == tname)
             runner = prodigal_mod.ProdigalRunner()
-            meta = tlen < 100_000 or (
-                euk and taxonomy.is_ancestor(euk, sp))
             runner.train(tseq, meta=meta)
-            b, e, s = runner.predict(tseq)
-            intergenic = prodigal_mod.generate_intergenic_kmer_list(
-                b, e, s, tseq)
-            state[sp] = (runner, intergenic, minhash_sketch(tseq), tlen)
+            gb, ge, gs = runner.predict(tseq)
+            b["runner"] = runner
+            b["intergenic"] = prodigal_mod.generate_intergenic_kmer_list(
+                gb, ge, gs, tseq)
+            b["tsk"] = minhash_sketch(tseq)
+            b["tlen"] = tlen
 
-        for rec, internal, taxid, blocks in input_records():
+        for rec, internal, taxid, blocks, fa in input_records():
             acc_map_out.append((rec.name, taxid))
             progress["done"] += 1
+            sp = int(taxonomy.species_of(internal)) or internal
+            if batch is None or batch["full"] or batch["sp"] != sp \
+                    or batch["fa"] != fa:
+                if batch is not None and batch["runner"] is not None:
+                    del batch["runner"]   # free native buffers now
+                batch = _open_batch(sp, fa)
+            # batch caps mirror getAccessionBatches
+            # (IndexCreator.cpp:764): the check runs AFTER adding each
+            # accession, so a batch always holds >= 1 record
+            batch["cnt"] += 1
+            batch["len_sum"] += len(rec.seq)
+            batch["kmer_sum"] += len(rec.seq) * 0.4
+            if (batch["cnt"] > 300 or batch["len_sum"] > 100_000_000
+                    or (batch["cnt"] > 100 and batch["len_sum"] > 50_000_000)
+                    or batch["kmer_sum"] > builder.flush_kmers):
+                batch["full"] = True
             if blocks is None:
-                sp = int(taxonomy.species_of(internal)) or internal
-                if sp not in state:
-                    _train_species(sp)
-                runner, intergenic, tsk, tlen = state[sp]
+                if batch["runner"] is None and not batch["fallback"]:
+                    _train_batch(batch)
+                if batch["fallback"]:
+                    builder.add_sequence(rec.seq, internal)
+                    continue
                 seq = rec.seq
-                if not minhash_similar(tsk, minhash_sketch(seq),
-                                       tlen, len(seq)):
+                if not minhash_similar(batch["tsk"], minhash_sketch(seq),
+                                       batch["tlen"], len(seq)):
                     seq = prodigal_mod.reverse_complement(seq)
                     n_reversed += 1
-                b, e, s = runner.predict(seq)
+                gb, ge, gs = batch["runner"].predict(seq)
                 blocks = prodigal_mod.get_extended_orfs(
-                    b, e, s, len(seq), intergenic, seq)
+                    gb, ge, gs, len(seq), batch["intergenic"], seq)
                 builder.add_sequence(seq, internal, cds_blocks=blocks)
             else:
                 builder.add_sequence(rec.seq, internal, cds_blocks=blocks)
@@ -584,17 +542,18 @@ def build_database(
                 progress["done"] += 1
                 builder.add_kmers(kmers, itl)
 
-            for rec, internal, taxid, blocks in input_records():
+            for rec, internal, taxid, blocks, _fa in input_records():
                 fut = pool.submit(_extract_worker,
-                                  (rec.seq, mask_mode, mask_prob, syncmer,
-                                   smer_len, blocks, orf_prediction))
+                                  (rec.seq, builder.mask_mode,
+                                   builder.mask_prob, builder.syncmer,
+                                   builder.smer_len, blocks, orf_prediction))
                 pending.append((fut, internal, rec.name, taxid))
                 while len(pending) > 4 * threads:
                     _drain_one()
             while pending:
                 _drain_one()
     else:
-        for rec, internal, taxid, blocks in input_records():
+        for rec, internal, taxid, blocks, _fa in input_records():
             if blocks is None and orf_prediction:
                 from .orf import predict_orfs
 
@@ -612,8 +571,154 @@ def build_database(
                   f"vs their species training sequence (extraction is "
                   f"strand-complete; informational)")
 
+
+
+def build_database(
+    db_dir,
+    fasta_list_path,
+    acc2taxid_path,
+    taxdump_dir,
+    syncmer: bool = False,
+    smer_len: int = 5,
+    mask_mode: int = 1,
+    mask_prob: float = 0.9,
+    max_ram_gb: float = 32.0,
+    write_reference_format: bool = False,
+    db_name: str = "",
+    cds_info_path: str = None,
+    orf_prediction: bool = False,
+    threads: int = 1,
+    accession_level: bool = False,
+    gene_predictor: str = "auto",
+    resume: bool = False,
+    force_prodigal: bool = False,
+):
+    """End-to-end `build` command (reference workflow/build.cpp:32-131).
+
+    orf_prediction: restrict extraction to predicted extended ORF blocks
+    instead of all six frames — the role Prodigal plays in the reference
+    build (IndexCreator.cpp:1124-1212).  Explicit ``--cds-info`` blocks
+    win over prediction per accession.
+    gene_predictor: 'prodigal' = the vendored Prodigal 2.6.3 library
+    with the reference's extended-ORF stitching (index/prodigal.py;
+    bit-compatible with reference-binary DB builds), 'heuristic' = the
+    dependency-free maximal-ORF approximation (index/orf.py), 'auto' =
+    prodigal when its native library is buildable, else heuristic.
+    threads: worker processes for masking/ORF/extraction (0 = all cores;
+    the reference's OpenMP batch farm, IndexCreator.cpp:1029-1030) —
+    the prodigal path is sequential (per-species trained state).
+    resume: continue an interrupted build at flush granularity.  Spill
+    runs live in <db_dir>/.build_runs with a manifest recording how many
+    input records each flushed run covers; a resumed build adopts the
+    runs and skips those records.  (The reference's flush files are
+    resumable the same way but its hooks are commented out,
+    workflow/build.cpp:110-113.)  Note: with gene_predictor='prodigal',
+    an accession batch whose contigs straddle the resume point restarts
+    as a fresh batch (retrained model + re-seeded intergenic list) at
+    the resume point, which can shift extension directions for the
+    remaining contigs of that batch vs an uninterrupted build.
+    force_prodigal: use Prodigal meta-mode even for species whose
+    training sequence is < 100 kb.  The vendored snapshot lacks the
+    metagenomic training models (training.cpp), so meta-mode calls are
+    degenerate; by default such species warn and use 6-frame-superset
+    extraction instead."""
+    taxonomy = Taxonomy.from_taxdump(taxdump_dir)
+    acc2taxid = load_acc2taxid(acc2taxid_path)
+    cds_info = load_cds_info(cds_info_path) if cds_info_path else {}
+
+    with open(fasta_list_path) as f:
+        fasta_files = [ln.strip() for ln in f if ln.strip()]
+
+    acc_ids: dict = {}
+    if accession_level:
+        # header-only pre-pass: append one taxonomy node per accession so
+        # k-mers are labeled per sequence (reference --accession-level 1,
+        # IndexCreator.cpp:196-200 + accession2index)
+        accs = []
+        for fa in fasta_files:
+            with open(fa) as f:
+                for line in f:
+                    if not line.startswith(">"):
+                        continue
+                    name = line[1:].split()[0]
+                    taxid = acc2taxid.get(name.split(".")[0]) \
+                        or acc2taxid.get(name)
+                    if taxid is None:
+                        continue
+                    internal = taxonomy.to_internal(taxid)
+                    if internal:
+                        accs.append((name, internal))
+        taxonomy, acc_ids = taxonomy.with_accessions(accs)
+
+    # --- resumable spill state (flush-granularity checkpointing) ---
+    import hashlib
+    import json
+
+    spill_dir = os.path.join(str(db_dir), ".build_runs")
+    manifest_path = os.path.join(spill_dir, "manifest.json")
+    with open(fasta_list_path, "rb") as f:
+        sig = hashlib.md5(f.read()).hexdigest()[:16]
+    # fold each input FASTA's size+mtime into the signature: a FASTA
+    # modified between crash and resume would silently misalign the
+    # record-count skip and produce a wrong DB
+    fstat = hashlib.md5()
+    for fa in fasta_files:
+        st = os.stat(fa)
+        fstat.update(f"{fa}:{st.st_size}:{st.st_mtime_ns}".encode())
+    sig += "|" + fstat.hexdigest()[:16]
+    sig += f"|{syncmer}|{smer_len}|{mask_mode}|{mask_prob}|" \
+           f"{orf_prediction}|{gene_predictor}|{accession_level}|" \
+           f"{max_ram_gb}|{force_prodigal}"
+    skip_records = 0
+    restored_acc_map = []
+    restored_observed = []
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            man = json.load(f)
+        if man.get("sig") != sig:
+            raise RuntimeError(
+                "build --resume: manifest parameters differ from this "
+                "invocation; delete "
+                f"{spill_dir} to start over")
+        skip_records = int(man["processed"])
+        restored_acc_map = [tuple(x) for x in man["acc_map"]]
+        restored_observed = man.get("observed", [])
+        print(f"build: resuming after {skip_records} processed records, "
+              f"{len(man['runs'])} spilled runs adopted")
+
+    builder = IndexBuilder(taxonomy, syncmer, smer_len, mask_mode, mask_prob,
+                           max_ram_gb, tmpdir=spill_dir)
+    if skip_records:
+        builder.adopt_runs(man["runs"])
+        builder.observed_taxids.update(int(t) for t in restored_observed)
+    acc_map_out = list(restored_acc_map)
+    progress = {"done": skip_records}
+
+    def _on_flush(_base):
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"sig": sig, "processed": progress["done"],
+                       "runs": builder._runs,
+                       "acc_map": acc_map_out,
+                       "observed": sorted(builder.observed_taxids)}, f)
+        os.replace(tmp, manifest_path)
+
+    builder.on_flush = _on_flush
+    extract_records(
+        builder, taxonomy, fasta_files, acc2taxid,
+        cds_info=cds_info, acc_ids=acc_ids,
+        orf_prediction=orf_prediction, gene_predictor=gene_predictor,
+        threads=threads, force_prodigal=force_prodigal,
+        skip_records=skip_records, acc_map_out=acc_map_out,
+        progress=progress)
+
     index = builder.finalize()
     index.meta["db_name"] = db_name or os.path.basename(str(db_dir))
+    # recorded so updateDB extracts new sequences the same way this DB
+    # was built (the reference always runs Prodigal in IndexCreator;
+    # here orf settings are per-DB options)
+    index.meta["orf_prediction"] = int(orf_prediction)
+    index.meta["gene_predictor"] = gene_predictor
     if accession_level:
         index.meta["accession_level"] = 1
     save_index(db_dir, index)

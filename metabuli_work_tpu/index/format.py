@@ -134,7 +134,31 @@ def read_db_parameters(path) -> dict:
         "syncmer": bool(int(kv.get("Syncmer", 0) or 0)),
         "smer_len": int(kv.get("Syncmer_len", 5) or 5),
         "kmer_format": int(kv.get("Kmer_format", 2) or 2),
+        # the reference binary always extracts via Prodigal extended
+        # ORFs (IndexCreator.cpp:1124-1212), so an updateDB of an
+        # imported reference DB must do the same
+        "orf_prediction": 1,
+        "gene_predictor": "prodigal",
     }
+
+
+def load_db_taxonomy(db_dir) -> Taxonomy:
+    """Taxonomy of ANY DB directory: native (taxonomy.npz), reference
+    (taxonomyDB blob), or a raw taxdump dir (nodes.dmp) — the loader
+    every downstream tool (extract/refiner/grade/apply-group/...) goes
+    through so they run against imported reference DBs too (the
+    reference's loadTaxonomy, common.cpp:50-86)."""
+    npz = os.path.join(db_dir, "taxonomy.npz")
+    if os.path.exists(npz):
+        return Taxonomy.load(npz)
+    blob = os.path.join(db_dir, "taxonomyDB")
+    if os.path.exists(blob):
+        return load_reference_taxonomy(blob)
+    if os.path.exists(os.path.join(db_dir, "nodes.dmp")):
+        return Taxonomy.from_taxdump(db_dir)
+    raise FileNotFoundError(
+        f"no taxonomy found in {db_dir} (taxonomy.npz / taxonomyDB / "
+        f"nodes.dmp)")
 
 
 def load_reference_taxonomy(path) -> Taxonomy:

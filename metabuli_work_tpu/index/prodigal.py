@@ -149,14 +149,18 @@ def _rc_kmer(kmer: str) -> bytes:
 def _hash_kmer(seq: str, pos: int, reverse: bool) -> int:
     """XXH64 of seq[pos:pos+23], reverse-complemented for reverse genes.
 
-    The reference reads the 23 bytes unconditionally (strncpy from a
-    raw pointer); windows that would start before the sequence are
-    clamped to 0 here — out-of-bounds reads are the only behavior that
+    The reference strncpy's from seq+pos into a 23-byte buffer
+    (SeqIterator.cpp:139, ProdigalWrapper.cpp:410-412): copying stops
+    at the NUL terminator and the remainder is zero-padded — a
+    well-defined behavior for windows running past the sequence end
+    (Prodigal routinely calls run-off genes with end == len(seq)), so
+    the hash is of seq[pos:] + b"\\0"*pad.  For the reverse case each
+    padding byte maps through iRCT[0] == '.' (GeneticCode.h:14).
+    Windows that would START before the sequence are a true OOB read
+    in the reference; those are clamped to 0 — the only behavior that
     cannot be reproduced."""
-    pos = max(0, min(pos, max(0, len(seq) - _K)))
-    kmer = seq[pos:pos + _K]
-    if len(kmer) < _K:
-        kmer = kmer.ljust(_K, "\0")
+    pos = max(0, pos)
+    kmer = seq[pos:pos + _K].ljust(_K, "\0")
     return xxh64(_rc_kmer(kmer) if reverse else kmer.encode())
 
 

@@ -13,7 +13,8 @@ import numpy as np
 
 from ..io.fasta import read_fasta
 from ..taxonomy import Taxonomy
-from .builder import IndexBuilder, _dedup_lca, load_acc2taxid
+from .builder import (IndexBuilder, _dedup_lca, extract_records,
+                      load_acc2taxid)
 from .format import KmerIndex, load_index, save_index
 
 
@@ -82,18 +83,16 @@ def update_database(
     )
     with open(fasta_list_path) as f:
         fasta_files = [ln.strip() for ln in f if ln.strip()]
-    acc_rows = []
-    for fa in fasta_files:
-        for rec in read_fasta(fa):
-            acc = rec.name.split(".")[0]
-            taxid = acc2taxid.get(acc) or acc2taxid.get(rec.name)
-            if taxid is None:
-                continue
-            internal = tax.to_internal(taxid)
-            if internal == 0:
-                continue
-            builder.add_sequence(rec.seq, internal)
-            acc_rows.append((rec.name, taxid))
+    # extract the new sequences exactly the way the old DB was built
+    # (Prodigal extended-ORF blocks, heuristic ORFs, or plain 6-frame) —
+    # the reference funnels updateDB through the same IndexCreator
+    # (workflow/updateDB.cpp:103-105)
+    acc_rows: list = []
+    extract_records(
+        builder, tax, fasta_files, acc2taxid,
+        orf_prediction=bool(meta.get("orf_prediction", 0)),
+        gene_predictor=str(meta.get("gene_predictor", "auto")),
+        acc_map_out=acc_rows)
     new = builder.finalize()
 
     # merge old + new with cross-set dedup (old taxids stay authoritative
