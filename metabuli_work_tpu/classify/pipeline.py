@@ -330,12 +330,37 @@ class Classifier:
 
             quad_np = pack_db_quad(self.index.values, db_ef, sp_euk)
             n_db = self.mesh.shape["db"]
-            quads, hts, self.hash_log2_rows, self.hash_chain, _ = \
-                shard_quad_index(quad_np, n_db)
             shQ = NamedSharding(self.mesh, P("db", None, None))
             rep = NamedSharding(self.mesh, P())
-            self.db_quad_sh = _jax.device_put(quads, shQ)
-            self.hash_sh = _jax.device_put(hts, shQ)
+            # mesh x streaming: when the packed index exceeds the
+            # aggregate HBM budget of the 'db' axis, keep it host-side
+            # cut into n_ranges x n_db shards — each batch loops range
+            # passes whose n_db shards are device_put over 'db' and
+            # freed after (VERDICT r2 item 2a; reference analog:
+            # RAM-bounded DB streams, QueryIndexer.cpp:30-147)
+            budget = self._hbm_budget_gb * (1 << 30) * 0.5
+            self._mesh_stream = bool(
+                budget > 0 and quad_np.nbytes > budget * n_db)
+            if self._mesh_stream:
+                n_ranges = max(2, int(np.ceil(
+                    quad_np.nbytes / (budget * n_db))))
+                quads, hts, self.hash_log2_rows, self.hash_chain, _ = \
+                    shard_quad_index(quad_np, n_ranges * n_db)
+                # range r = shard rows [r*n_db, (r+1)*n_db)
+                self._stream_quads, self._stream_hts = quads, hts
+                self._n_ranges = n_ranges * n_db
+                self._mesh_n_ranges = n_ranges
+                self._mesh_stream_cache: dict = {}
+            else:
+                quads, hts, self.hash_log2_rows, self.hash_chain, _ = \
+                    shard_quad_index(quad_np, n_db)
+                # host-side references double as the long-read chunk
+                # path's range set (_stream_probe_matches) — mesh mode
+                # streams the same AA-boundary cuts for that tail case
+                self._stream_quads, self._stream_hts = quads, hts
+                self._n_ranges = n_db
+                self.db_quad_sh = _jax.device_put(quads, shQ)
+                self.hash_sh = _jax.device_put(hts, shQ)
             self.lca_depth = _jax.device_put(np.asarray(self.lca_depth), rep)
             self.lca_lift = _jax.device_put(np.asarray(self.lca_lift), rep)
             self.euler = _jax.device_put(
@@ -361,14 +386,27 @@ class Classifier:
         # ~15 ms of the 22 ms step).  METABULI_HASH_PROBE=0 restores the
         # bisection.
         if os.environ.get("METABULI_HASH_PROBE", "1") == "1":
-            # max_chain=2: one extra table doubling buys a 3->2 cut in
-            # the chained [N] row gathers, the second-largest device cost
-            # (each 190k x 64B gather is ~4.3 ms on v5e; gathers are
-            # byte-bound at ~1.5-3.5 GB/s, profiling/prof_gather_model.py)
-            # METABULI_HASH_CHAIN=1 doubles the table again for a single
-            # unchained gather (fastest, ~4x quad bytes of HBM);
-            # =3 restores the smallest table
-            mc = int(os.environ.get("METABULI_HASH_CHAIN", "2"))
+            # Probe cost is gather-byte-bound (~2.6 GB/s effective on
+            # v5e through the tunnel; profiling/prof_gather_model.py),
+            # and each chain level is one [N]-row 64 B gather per batch
+            # (~5 ms at N=190k).  chain=1 (single unchained gather) won
+            # the 2026-08-21 A/B: 27.6k vs 27.0k reads/s on a host-bound
+            # box, and frees ~5 ms/batch of device time — so it is the
+            # DEFAULT whenever even a worst-case table (3 doublings
+            # above the load-2.5 floor) stays under ~3 GiB of HBM;
+            # bigger DBs fall back to chain=2.  METABULI_HASH_CHAIN
+            # overrides (=3 restores the smallest table).
+            mc_env = os.environ.get("METABULI_HASH_CHAIN")
+            if mc_env is not None:
+                mc = int(mc_env)
+            else:
+                aa = self.index.values >> np.uint64(24)
+                n_uniq = int(1 + (aa[1:] != aa[:-1]).sum()) if len(aa) \
+                    else 1
+                floor_rows = 1 << max(
+                    8, int(np.ceil(np.log2(max(n_uniq / 2.5, 1)))))
+                worst_bytes = (floor_rows << 3) * 64
+                mc = 1 if worst_bytes <= (3 << 30) else 2
             ht, self.hash_log2_rows, self.hash_chain = \
                 build_aa_hash(self.index.values, max_chain=mc)
             self.hash_table = jnp.asarray(ht)
@@ -960,11 +998,99 @@ class Classifier:
             ra2 = r2 if self._host_ra else None
         return r1, j1, r2, j2, l1, l2, paired, ra1, ra2, B_pad
 
+    def _mesh_stream_steps(self, cap, paired, path_width, win_frac,
+                           path_block, compact5, shapes):
+        key = (cap, paired, path_width, win_frac, path_block, compact5,
+               shapes)
+        steps = self._mesh_stream_cache.get(key)
+        if steps is None:
+            from ..parallel.sharding import make_sharded_stream_steps
+
+            steps = make_sharded_stream_steps(
+                self.mesh, cap=cap, kmer_format=self.kmer_format,
+                syncmer=self.syncmer, smer_len=self.smer_len,
+                paired=paired, min_cons=int(self.params.min_cons_cnt),
+                min_cons_euk=int(self.params.min_cons_cnt_euk),
+                path_width=path_width, win_frac=win_frac,
+                path_block=path_block, compact5=compact5, shapes=shapes,
+                hash_log2_rows=self.hash_log2_rows,
+                hash_chain=self.hash_chain, has_ra=self._host_ra)
+            self._mesh_stream_cache[key] = steps
+        return steps
+
+    def _dispatch_batch_dp_stream_sharded(self, names, a1, l1, a2=None,
+                                          l2=None, cap=None, path_width=None,
+                                          win_frac=None, path_block=None):
+        """mesh x DB-streaming dispatch: extract once per batch, loop
+        range passes (each range device_put over 'db' for its pass and
+        freed after), then the dp-local finish.  Same ctx contract as
+        _dispatch_batch_dp_sharded so the sharded two-phase finish and
+        all retry protocols apply unchanged."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..models.flagship import part_widths
+
+        B = len(names)
+        cap = cap or self.cap
+        path_width = path_width or self._path_width
+        win_frac = win_frac or self._win_frac
+        path_block = path_block or self._path_block
+        n_db = self.mesh.shape["db"]
+        with self.timer.stage("dispatch"):
+            r1, j1, r2, j2, l1, l2, paired, ra1, ra2, B_pad = \
+                self._prep_arrays_sharded(a1, l1, a2, l2, B)
+            part_w = part_widths(r1.shape[1], r2.shape[1], paired,
+                                 self.syncmer, self.kmer_format,
+                                 self.smer_len, win_frac)
+            Bl = B_pad // self.mesh.shape["dp"]
+            shapes = tuple((Bl, 6, w // 6) for w in part_w)
+            lmax = r1.shape[1] + (r2.shape[1] + 3 if paired else 0)
+            compact5 = (Bl * 6 < (1 << 16)) and (lmax < (1 << 14))
+            extract, probe, finish = self._mesh_stream_steps(
+                cap, paired, path_width, win_frac, path_block, compact5,
+                shapes)
+            args = [r1, j1, r2, j2] + ([ra1, ra2] if self._host_ra else [])
+            qk, qp, qf, qs, qv, win_over = extract(*args)
+            N = qk.shape[0]
+            accN = NamedSharding(self.mesh, P(None, "dp"))
+            rep = NamedSharding(self.mesh, P())
+            shQ = NamedSharding(self.mesh, P("db", None, None))
+            acc = [jax.device_put(np.zeros((cap, N), np.int32), accN)
+                   for _ in range(6)]
+            acc[0] = jax.device_put(np.zeros((cap, N), bool), accN)
+            acc.append(jax.device_put(np.zeros((), np.int32), rep))
+            for r in range(self._mesh_n_ranges):
+                quad_r = jax.device_put(
+                    self._stream_quads[r * n_db:(r + 1) * n_db], shQ)
+                hash_r = jax.device_put(
+                    self._stream_hts[r * n_db:(r + 1) * n_db], shQ)
+                acc = list(probe(qk, qf, qv, quad_r, hash_r, *acc))
+                del quad_r, hash_r
+            packed_hdr, *resident = finish(*acc, qp, qs, win_over)
+            est = min(self._path_estimate, packed_hdr.shape[2] - 1)
+            prefix = packed_hdr[:, :, :est + 1]
+            try:
+                prefix.copy_to_host_async()
+            except Exception:
+                pass
+            n_quot = lmax // int(self.taxonomer.dna_shift) + 2
+        return {
+            "dp": True, "sharded": True, "names": names, "l1": l1, "l2": l2,
+            "cap": cap, "a1": a1, "a2": a2, "B_pad": B_pad,
+            "paths": packed_hdr, "prefix": prefix, "est": est,
+            "resident": tuple(resident), "n_quot": n_quot, "part_w": part_w,
+        }
+
     def _dispatch_batch_dp_sharded(self, names, a1, l1, a2=None, l2=None,
                                    cap=None, path_width=None, win_frac=None,
                                    path_block=None):
         from ..models.flagship import part_widths
 
+        if getattr(self, "_mesh_stream", False):
+            return self._dispatch_batch_dp_stream_sharded(
+                names, a1, l1, a2, l2, cap=cap, path_width=path_width,
+                win_frac=win_frac, path_block=path_block)
         B = len(names)
         cap = cap or self.cap
         path_width = path_width or self._path_width
@@ -1396,6 +1522,69 @@ class Classifier:
     _LONG_OVERLAP = 48       # multiple of 3; > 27 so every window is
     #                          fully emitted by some chunk's local scan
 
+    def _stream_probe_matches(self, arr, lens):
+        """Raw MATCH_DTYPE rows for a batch of rows by probing the
+        host-resident index ranges — the raw-match primitive the
+        long-read chunk path uses under mesh and DB-streaming modes
+        (each range is device_put for its pass and freed after, like
+        _dispatch_batch_dp_stream).  AA-boundary range cuts make the
+        per-range candidate sets disjoint and the min(2*minHamming, 7)
+        cutoff computed in the owning range globally correct (reference
+        KmerMatcher.cpp:1136)."""
+        import jax.numpy as jnp
+
+        from ..models.flagship import extract_queries_step, probe_range_step
+        from ..ops.encode_jax import right_align
+
+        B = arr.shape[0]
+        r1, j1 = jnp.asarray(arr), jnp.asarray(lens)
+        r2, j2, dra2 = self._dummy_mate2(B)
+        ra1 = jnp.asarray(right_align(arr, lens)) if self._host_ra else None
+        ra2 = dra2 if self._host_ra else None
+        cap = self.cap
+        while True:
+            qk, qp, qf, qs, qv, _ = extract_queries_step(
+                r1, j1, r2, j2, ra1, ra2, syncmer=self.syncmer,
+                smer_len=self.smer_len, kmer_format=self.kmer_format,
+                win_frac=256, paired=False)
+            N = qk.shape[0]
+            acc = (jnp.zeros((cap, N), bool),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((cap, N), jnp.int32),
+                   jnp.zeros((), jnp.int32))
+            for r in range(self._n_ranges):
+                quad_r = jnp.asarray(self._stream_quads[r])
+                hash_r = jnp.asarray(self._stream_hts[r])
+                acc = probe_range_step(
+                    qk, qf, qv, quad_r, hash_r, *acc, cap=cap,
+                    kmer_format=self.kmer_format,
+                    hash_log2_rows=self.hash_log2_rows,
+                    hash_chain=self.hash_chain)
+                del quad_r, hash_r
+            sel, ham, rh, ef, sp, dna, over = acc
+            if int(over) == 0 or cap >= self.index.max_aa_run():
+                break
+            cap = min(cap * 2, self.index.max_aa_run())
+            self.cap = max(self.cap, cap)
+        sel_h = np.asarray(sel)
+        c, n = np.nonzero(sel_h)
+        m = np.zeros(len(c), MATCH_DTYPE)
+        qs_h, qp_h, qf_h = np.asarray(qs), np.asarray(qp), np.asarray(qf)
+        m["qid"] = qs_h[n]
+        m["pos"] = qp_h[n].astype(np.uint32)
+        m["frame"] = qf_h[n]
+        # the quad payload carries euler-first coordinates (prefolded at
+        # init); the host scorer wants node ids -> one euler gather back
+        m["taxid"] = self.taxonomy.euler[np.asarray(ef)[c, n]]
+        m["species"] = np.asarray(sp)[c, n] & np.int32(0x3FFFFFFF)
+        m["dna"] = np.asarray(dna)[c, n].astype(np.uint32)
+        m["rh"] = np.asarray(rh)[c, n].astype(np.uint16)
+        m["ham"] = np.asarray(ham)[c, n].astype(np.uint8)
+        return m
+
     def _classify_long_read(self, name: str, seq: str):
         """Classify ONE read of arbitrary length by chunked extraction.
 
@@ -1415,10 +1604,7 @@ class Classifier:
         from ..ops import compact_jax
         from .taxonomer import sort_matches
 
-        if getattr(self, "db_values", None) is None:
-            raise NotImplementedError(
-                "long-read chunking currently needs the resident "
-                "single-chip index (not mesh / DB-streaming mode)")
+        resident = getattr(self, "db_values", None) is not None
         if self.params.mask_mode:
             seq = mask_ops.mask_low_complexity(seq, self.params.mask_prob)
         L = len(seq)
@@ -1444,23 +1630,28 @@ class Classifier:
             arr = np.full((B, lmax), ord("N"), np.uint8)
             for i, a in enumerate(grp):
                 arr[i, :lens[i]] = data[a:a + lens[i]]
-            r1, j1 = jnp.asarray(arr), jnp.asarray(lens)
-            r2 = jnp.zeros((B, 96), jnp.uint8)
-            j2 = jnp.zeros(B, jnp.int32)
-            while True:
-                packed, count, overflow = fused_step(
-                    r1, j1, r2, j2, self.db_values, self.db_taxids,
-                    self.db_species, cap=cap, kmer_format=self.kmer_format,
-                    syncmer=self.syncmer, smer_len=self.smer_len,
-                    paired=False, bucket_lo=self.bucket_lo,
-                    db_aa_lo=self.db_aa_lo, bucket_shift=self.bucket_shift,
-                    bucket_steps=self.bucket_steps)
-                if int(overflow) == 0 or cap >= self.index.max_aa_run():
-                    break
-                cap = min(cap * 2, self.index.max_aa_run())
-                self.cap = max(self.cap, cap)
-            m = compact_jax.decode_matches(
-                compact_jax.fetch_compacted((packed, count)), MATCH_DTYPE)
+            if resident:
+                r1, j1 = jnp.asarray(arr), jnp.asarray(lens)
+                r2 = jnp.zeros((B, 96), jnp.uint8)
+                j2 = jnp.zeros(B, jnp.int32)
+                while True:
+                    packed, count, overflow = fused_step(
+                        r1, j1, r2, j2, self.db_values, self.db_taxids,
+                        self.db_species, cap=cap, kmer_format=self.kmer_format,
+                        syncmer=self.syncmer, smer_len=self.smer_len,
+                        paired=False, bucket_lo=self.bucket_lo,
+                        db_aa_lo=self.db_aa_lo, bucket_shift=self.bucket_shift,
+                        bucket_steps=self.bucket_steps)
+                    if int(overflow) == 0 or cap >= self.index.max_aa_run():
+                        break
+                    cap = min(cap * 2, self.index.max_aa_run())
+                    self.cap = max(self.cap, cap)
+                m = compact_jax.decode_matches(
+                    compact_jax.fetch_compacted((packed, count)), MATCH_DTYPE)
+            else:
+                # mesh / DB-streaming: probe the host-resident index
+                # ranges (one range in HBM at a time)
+                m = self._stream_probe_matches(arr, lens)
             if not len(m):
                 continue
             gi = (g0 + m["qid"] - 1).astype(np.int64)
@@ -1528,8 +1719,7 @@ class Classifier:
         # batch pass (length zeroed -> unclassified placeholder) and
         # reprocessed whole via chunked extraction afterwards
         long_ids: dict = {}
-        if self.params.seq_mode == 3 and self.mesh is None \
-                and not self._streaming:
+        if self.params.seq_mode == 3:
             cap_rows = self.LONG_ROW_CAP
 
             def _split_long(it):

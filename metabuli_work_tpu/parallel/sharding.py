@@ -430,3 +430,106 @@ def device_put_sharded_index(mesh, pv, pt, ps, counts):
         jax.device_put(ps, sh),
         jax.device_put(counts, sh1),
     )
+
+
+def make_sharded_stream_steps(mesh: Mesh, *, cap: int, kmer_format: int,
+                              syncmer: bool, smer_len: int, paired: bool,
+                              min_cons: int, min_cons_euk: int,
+                              path_width: int, win_frac: int,
+                              path_block: int, compact5: bool,
+                              shapes: tuple,
+                              hash_log2_rows: int, hash_chain: int,
+                              has_ra: bool):
+    """mesh x DB-streaming: the three streaming stages (extract / probe
+    one range / finish) shard_map'd over the (dp, db) mesh, so a DB
+    bigger than the aggregate HBM of the 'db' axis classifies on a mesh.
+
+    Each range pass holds ONE range in HBM, itself cut into n_db
+    AA-boundary shards; the probe runs shard-local and candidate merges
+    ride one psum over 'db' exactly like the resident mesh step
+    (make_sharded_fused_dp_prod).  Accumulators are sharded over 'dp'
+    on their N axis and replicated over 'db'; candidate exclusivity
+    (AA runs never straddle range or shard cuts) makes masked
+    accumulation across passes equal to a single-pass probe.
+
+    Reference analog: per-thread DB-region streams under --max-ram
+    (KmerMatcher.cpp:166-198, QueryIndexer.cpp:30-147)."""
+    from ..models import flagship
+    from ..ops import match_jax
+
+    dpN = P("dp", None)
+
+    # ---- stage 1: extract (dp-local; db ranks replicate) ----
+    def ex_step(r1, j1, r2, j2, ra1=None, ra2=None):
+        qk, qp, qf, qs, qv, _sh, win_over = flagship._extract_all(
+            r1, j1, r2, j2, ra1, ra2, syncmer=syncmer, smer_len=smer_len,
+            kmer_format=kmer_format, win_frac=win_frac, paired=paired)
+        return qk, qp, qf, qs, qv, win_over[None]
+
+    ex_in = [dpN, P("dp"), dpN, P("dp")] + ([dpN, dpN] if has_ra else [])
+    extract = jax.jit(jax.shard_map(
+        ex_step, mesh=mesh, in_specs=tuple(ex_in),
+        out_specs=(P("dp"),) * 5 + (P("dp"),), check_vma=False))
+
+    # ---- stage 2: probe one range (db-local probe + psum merge) ----
+    def pr_step(qk, qf, qv, quad_r, hts_r,
+                sel, ham, rh, tax, sp, dna, over):
+        out = match_jax.match_kmers_quad(
+            qk, qf, qv, quad_r[0], cap=cap, kmer_format=kmer_format,
+            hash_table=hts_r[0], hash_log2_rows=hash_log2_rows,
+            hash_chain=hash_chain)
+        s = out["sel"]
+        z = {}
+        for k, a in out.items():
+            if k == "sel":
+                z[k] = s.astype(jnp.int32)
+            elif k == "overflow":
+                z[k] = a
+            else:
+                z[k] = jnp.where(s, a, jnp.zeros((), a.dtype))
+        m = {k: jax.lax.psum(a, "db") for k, a in z.items()}
+        return (sel | (m["sel"] > 0), ham + m["hamming"], rh + m["rh"],
+                tax + m["taxid"], sp + m["species"], dna + m["dna_enc"],
+                over + m["overflow"])
+
+    accN = P(None, "dp")
+    pr_in = ((P("dp"),) * 3 + (P("db", None, None),) * 2
+             + (accN,) * 6 + (P(),))
+    probe = jax.jit(jax.shard_map(
+        pr_step, mesh=mesh, in_specs=pr_in,
+        out_specs=(accN,) * 6 + (P(),), check_vma=False),
+        donate_argnums=(5, 6, 7, 8, 9, 10, 11))
+
+    # ---- stage 3: finish (dp-local DP + lockstep stats header) ----
+    def fin_step(sel, ham, rh, tax, sp, dna, over, qp, qs, win_over):
+        out = {"sel": sel > 0, "hamming": ham, "rh": rh, "taxid": tax,
+               "species": sp, "dna_enc": dna, "overflow": over}
+        stats, paths_packed, resident = flagship._dp_from_probe(
+            out, qp, qs, shapes, win_over[0], cap=cap,
+            kmer_format=kmer_format, syncmer=syncmer, smer_len=smer_len,
+            min_cons=min_cons, min_cons_euk=min_cons_euk,
+            path_width=path_width, path_block=path_block,
+            win_frac=win_frac, compact5=compact5)
+        # header rows mirror make_sharded_fused_dp_prod: global (psum'd
+        # over 'dp') overflow stats keep the per-batch retry protocol
+        # lockstep across processes; row 1 stays the LOCAL path count,
+        # row 4 the global max for the width-retry decision
+        g_over = jax.lax.psum(stats[0], "dp")
+        g_win = jax.lax.psum(stats[2], "dp")
+        g_blk = jax.lax.psum(stats[3], "dp")
+        g_wmax = jax.lax.pmax(stats[1], "dp")
+        hdr = jnp.zeros((paths_packed.shape[0], 1), jnp.int32)
+        hdr = hdr.at[:5, 0].set(
+            jnp.stack([g_over, stats[1], g_win, g_blk, g_wmax]))
+        packed_hdr = jnp.concatenate([hdr, paths_packed], axis=1)
+        r_sel, r_sp, r_ham, r_ef, r_qp, r_qs = resident
+        return (packed_hdr[None], r_sel.astype(jnp.int32)[None],
+                r_sp[None], r_ham[None], r_ef[None], r_qp[None],
+                r_qs[None])
+
+    fin_in = (accN,) * 6 + (P(), P("dp"), P("dp"), P("dp"))
+    fin_out = (P("dp", None, None),) * 5 + (P("dp", None),) * 2
+    finish = jax.jit(jax.shard_map(
+        fin_step, mesh=mesh, in_specs=fin_in, out_specs=fin_out,
+        check_vma=False))
+    return extract, probe, finish
