@@ -43,20 +43,16 @@ REF_BINARY = os.path.join(REPO, "reference_build", "build", "metabuli")
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: round-1 warmup was 490 s of
-    compile through the tunnel; cached executables cut repeat runs."""
+    """The persistent XLA compilation cache is owned by
+    metabuli_work_tpu.ops._jax_setup (package import sets
+    jax_compilation_cache_dir=/root/.cache/jax_comp_cache) — importing
+    the package here is all it takes.  Measured 2026-08-21: warm-cache
+    warmup is 52 s vs 605 s cold, so keeping the cache populated with
+    the FINAL code's executables (run bench.py once after any kernel
+    change) is what makes driver runs fast."""
     if os.environ.get("METABULI_NO_JAX_CACHE"):
         return
-    try:
-        import jax
-
-        cache = os.environ.get("METABULI_JAX_CACHE",
-                               "/root/.cache/mwt_jax_cache")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:   # cache is an optimization, never fatal
-        print(f"# compile cache unavailable: {e}", file=sys.stderr)
+    from metabuli_work_tpu.ops import _jax_setup  # noqa: F401
 
 
 def build_synthetic(rng):

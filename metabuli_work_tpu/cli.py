@@ -542,9 +542,9 @@ def cmd_apply_group(args):
 
 
 def cmd_taxdump(args):
-    from .taxonomy import Taxonomy
+    from .index.format import load_db_taxonomy
 
-    tax = Taxonomy.load(os.path.join(args.dbdir, "taxonomy.npz"))
+    tax = load_db_taxonomy(args.dbdir)
     os.makedirs(args.outdir, exist_ok=True)
     with open(os.path.join(args.outdir, "nodes.dmp"), "w") as f:
         for i in range(1, tax.num_nodes()):

@@ -92,8 +92,8 @@ def apply_groups(groups_path, map_path, tax_source, org_results_path, out_dir,
                  params: ApplyParams = None):
     """tax_source: DB dir containing taxonomy.npz OR a taxdump dir."""
     params = params or ApplyParams()
-    npz = os.path.join(tax_source, "taxonomy.npz")
-    tax = Taxonomy.load(npz) if os.path.exists(npz) else Taxonomy.from_taxdump(tax_source)
+    from ..index.format import load_db_taxonomy
+    tax = load_db_taxonomy(tax_source)
 
     org = load_org_results(org_results_path, params)
     group_info, group_map = load_groups(groups_path, map_path)

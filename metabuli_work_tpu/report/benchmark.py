@@ -41,8 +41,8 @@ def make_test_sets(assembly_list_path, tax_source, out_dir, rank="species",
       excluded_assemblies.tsv  (queries — novel at `rank`)
       db_assemblies.tsv        (remaining DB build input)
     """
-    npz = os.path.join(tax_source, "taxonomy.npz")
-    tax = Taxonomy.load(npz) if os.path.exists(npz) else Taxonomy.from_taxdump(tax_source)
+    from ..index.format import load_db_taxonomy
+    tax = load_db_taxonomy(tax_source)
     rows = load_assembly_list(assembly_list_path)
     rng = random.Random(seed)
 
@@ -146,8 +146,8 @@ def grade_group(groups_path, answer_path, db_dir, ranks=None):
     """Group-quality grading (reference gradeGroup.cpp): per group,
     measure label purity of the true taxa of its members at each rank."""
     ranks = ranks or RANKS_DEFAULT
-    npz = os.path.join(db_dir, "taxonomy.npz")
-    tax = Taxonomy.load(npz) if os.path.exists(npz) else Taxonomy.from_taxdump(db_dir)
+    from ..index.format import load_db_taxonomy
+    tax = load_db_taxonomy(db_dir)
     truth = load_answer_sheet(answer_path)
     # answers keyed by read index (read names "..." -> index via sorted order
     # is unsafe); accept both name->taxid and index->taxid sheets
@@ -241,8 +241,8 @@ def grade_group_by_strata(groups_path, answer_path, db_dir, strata_path,
 def mapping2taxon(mapping_path, db_dir, out_path, rank="species"):
     """Convert a read->taxid mapping to read->taxon-at-rank (reference
     src/util/mapping2taxon.cpp)."""
-    npz = os.path.join(db_dir, "taxonomy.npz")
-    tax = Taxonomy.load(npz) if os.path.exists(npz) else Taxonomy.from_taxdump(db_dir)
+    from ..index.format import load_db_taxonomy
+    tax = load_db_taxonomy(db_dir)
     n = 0
     with open(mapping_path) as fin, open(out_path, "w") as fout:
         for line in fin:

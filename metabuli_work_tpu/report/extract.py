@@ -13,7 +13,8 @@ from ..taxonomy import Taxonomy
 
 
 def extract_reads(classifications_path, reads_path, tax_id, db_dir, extract_mode=0):
-    tax = Taxonomy.load(os.path.join(db_dir, "taxonomy.npz"))
+    from ..index.format import load_db_taxonomy
+    tax = load_db_taxonomy(db_dir)
     clade = tax.to_internal(tax_id)
     if clade == 0:
         raise SystemExit(f"taxID {tax_id} not found in DB taxonomy")

@@ -28,8 +28,8 @@ def load_answer_sheet(path):
 
 def grade(classifications_path, answer_path, db_dir, ranks=None):
     ranks = ranks or RANKS_DEFAULT
-    npz = os.path.join(db_dir, "taxonomy.npz")
-    tax = Taxonomy.load(npz) if os.path.exists(npz) else Taxonomy.from_taxdump(db_dir)
+    from ..index.format import load_db_taxonomy
+    tax = load_db_taxonomy(db_dir)
     truth = load_answer_sheet(answer_path)
 
     stats = {r: {"tp": 0, "fp": 0, "fn": 0} for r in ranks}

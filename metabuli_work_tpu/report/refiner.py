@@ -19,7 +19,8 @@ def refine(
     exclude_taxids=None,
     rank: str = "",
 ):
-    tax = Taxonomy.load(os.path.join(db_dir, "taxonomy.npz"))
+    from ..index.format import load_db_taxonomy
+    tax = load_db_taxonomy(db_dir)
     inc = [tax.to_internal(t) for t in (include_taxids or [])]
     exc = [tax.to_internal(t) for t in (exclude_taxids or [])]
     out_path = out_path or classifications_path + ".refined"

@@ -79,8 +79,8 @@ def make_virus_benchmark_set(assembly_list_path, tax_source, out_dir,
     makeVirusBenchmarkSet.cpp)."""
     from .benchmark import load_assembly_list
 
-    npz = os.path.join(tax_source, "taxonomy.npz")
-    tax = Taxonomy.load(npz) if os.path.exists(npz) else Taxonomy.from_taxdump(tax_source)
+    from ..index.format import load_db_taxonomy
+    tax = load_db_taxonomy(tax_source)
     rows = load_assembly_list(assembly_list_path)
     rng = random.Random(seed)
 

@@ -89,8 +89,8 @@ def query_to_reference(classifications_path, acc2taxid_path, out_path):
 def filter_by_genus(classifications_path, db_dir, genus_taxids, out_path):
     """Keep only reads classified under the given genera (reference
     filter_by_genus.cpp)."""
-    npz = os.path.join(db_dir, "taxonomy.npz")
-    tax = Taxonomy.load(npz) if os.path.exists(npz) else Taxonomy.from_taxdump(db_dir)
+    from ..index.format import load_db_taxonomy
+    tax = load_db_taxonomy(db_dir)
     genera = {tax.to_internal(g) for g in genus_taxids} - {0}
     kept = 0
     with open(classifications_path) as fin, open(out_path, "w") as fout:
