@@ -82,9 +82,23 @@ def decode_metamer_deltas(chunks: np.ndarray):
 
     Returns (metamers uint64 [n], ids uint32 [n]).
     """
+    dhi66, dlo30 = _split_deltas_96(chunks)
+    if len(dhi66) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    s = np.cumsum(dlo30, dtype=np.uint64)
+    ids = (s & np.uint64((1 << 30) - 1)).astype(np.uint32)
+    metamers = np.cumsum(dhi66, dtype=np.uint64) + (s >> np.uint64(30))
+    return metamers, ids
+
+
+def _split_deltas_96(chunks: np.ndarray):
+    """Per-entry (high-66-bit, low-30-bit) delta parts of a 96-bit chunk
+    stream — shared by the one-shot decoder above and the windowed
+    import (format._decode_mtbl_window)."""
     chunks = np.asarray(chunks, dtype=np.uint16)
     if len(chunks) == 0:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+        z = np.zeros(0, np.uint64)
+        return z, z
     is_end = (chunks & END_FLAG) != 0
     ends = np.nonzero(is_end)[0]
     starts = np.empty_like(ends)
@@ -107,11 +121,7 @@ def decode_metamer_deltas(chunks: np.ndarray):
     mask30 = np.uint64((1 << 30) - 1)
     dlo30 = d_lo & mask30
     dhi66 = (d_hi << np.uint64(34)) | (d_lo >> np.uint64(30))
-
-    s = np.cumsum(dlo30, dtype=np.uint64)
-    ids = (s & mask30).astype(np.uint32)
-    metamers = np.cumsum(dhi66, dtype=np.uint64) + (s >> np.uint64(30))
-    return metamers, ids
+    return dhi66, dlo30
 
 
 def encode_metamer_deltas(metamers: np.ndarray, ids: np.ndarray) -> np.ndarray:
