@@ -274,11 +274,9 @@ class Classifier:
         on_tpu = _jax.default_backend() not in ("cpu",)
         self._dp_pallas = on_tpu if env is None else env == "1"
         self._pallas_interpret = self._dp_pallas and not on_tpu
-        if self.mesh is not None:
-            # the XLA DP flow is the validated path inside shard_map;
-            # the Pallas kernel per-shard is future work
-            self._dp_pallas = False
-            self._pallas_interpret = False
+        # Pallas DP inside shard_map is validated on the CPU mesh in
+        # interpret mode (tests/test_mesh_pallas.py); on real TPU
+        # meshes it inherits the same on_tpu default as single-chip.
         n = self.taxonomy.num_nodes()
         euk = self.taxonomy.eukaryota_id()
         if euk:
@@ -397,18 +395,12 @@ class Classifier:
             # bigger DBs fall back to chain=2.  METABULI_HASH_CHAIN
             # overrides (=3 restores the smallest table).
             mc_env = os.environ.get("METABULI_HASH_CHAIN")
-            if mc_env is not None:
-                mc = int(mc_env)
-            else:
-                aa = self.index.values >> np.uint64(24)
-                n_uniq = int(1 + (aa[1:] != aa[:-1]).sum()) if len(aa) \
-                    else 1
-                floor_rows = 1 << max(
-                    8, int(np.ceil(np.log2(max(n_uniq / 2.5, 1)))))
-                worst_bytes = (floor_rows << 3) * 64
-                mc = 1 if worst_bytes <= (3 << 30) else 2
+            mc = int(mc_env) if mc_env is not None else 1
+            cap_b = int(float(os.environ.get("METABULI_HASH_GB", "3"))
+                        * (1 << 30))
             ht, self.hash_log2_rows, self.hash_chain = \
-                build_aa_hash(self.index.values, max_chain=mc)
+                build_aa_hash(self.index.values, max_chain=mc,
+                              max_bytes=0 if mc_env else cap_b)
             self.hash_table = jnp.asarray(ht)
         else:
             self.hash_table = None
@@ -939,7 +931,9 @@ class Classifier:
                 path_width=path_width, win_frac=win_frac,
                 path_block=path_block,
                 hash_log2_rows=self.hash_log2_rows,
-                hash_chain=self.hash_chain, has_ra=self._host_ra)
+                hash_chain=self.hash_chain, has_ra=self._host_ra,
+                dp_pallas=getattr(self, "_dp_pallas", False),
+                pallas_interpret=getattr(self, "_pallas_interpret", False))
             self._sharded_cache[key] = step
         return step
 

@@ -118,7 +118,8 @@ _HASH_MUL2 = np.uint32(0x85EBCA6B)
 
 
 def build_aa_hash(values: np.ndarray, load: float = 2.5,
-                  max_chain: int = 3, min_log2_rows: int = 0):
+                  max_chain: int = 3, min_log2_rows: int = 0,
+                  max_bytes: int = 0):
     """Host-side bucketized hash of unique AA parts -> run starts.
 
     Returns (table uint32 [R, 16], log2_rows, chain): bucketized open
@@ -156,8 +157,14 @@ def build_aa_hash(values: np.ndarray, load: float = 2.5,
         slot_of = q % HASH_SLOTS
         chain = int((row_of - h[order]).max(initial=0)) + 1
         fits = n == 0 or int(row_of[-1]) < R
+        # max_bytes: stop chasing a shorter chain once the NEXT doubling
+        # would blow the byte budget (HBM cap for big DBs) — accept the
+        # chain reached instead
+        over_budget = bool(max_bytes) and \
+            ((R << 1) * HASH_ROW_U32 * 4 > max_bytes)
         if (chain <= max_chain and fits) \
-                or (fits and log2_rows >= max_log2_rows):
+                or (fits and log2_rows >= max_log2_rows) \
+                or (fits and over_budget):
             break
         log2_rows += 1
     table = np.zeros((R, HASH_ROW_U32), dtype=np.uint32)
