@@ -310,9 +310,14 @@ def main():
     sres = sclf.drive_batches(batches)
     sdt = time.time() - t0
     srate = N_STREAM_READS / sdt
+    up_mb = index.values.nbytes * 2 / 1e6
     print(f"# streaming ({sclf._n_ranges} range passes/batch): "
           f"{N_STREAM_READS} reads in {sdt:.2f}s = {srate:.0f} reads/s "
-          f"({srate / rate:.2f}x resident)", file=sys.stderr)
+          f"({srate / rate:.2f}x resident); re-uploads ~{up_mb:.0f} MB "
+          f"of index per batch — through the axon tunnel (~43 MB/s H2D) "
+          f"this is upload-bound; on directly-attached HBM (>=16 GB/s "
+          f"H2D) the same passes cost <{up_mb / 16000:.2f}s/batch",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "reads_per_sec_per_chip_150bp",

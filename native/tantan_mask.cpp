@@ -138,7 +138,7 @@ void tantan_mask(uint8_t *seq, int64_t n, double min_mask_prob) {
             case 'a': code[i] = 0; break;
             case 'c': code[i] = 1; break;
             case 'g': code[i] = 2; break;
-            case 't': code[i] = 3; break;
+            case 't': case 'u': code[i] = 3; break;  // U==T (shim aa2num)
             default: code[i] = 4; break;
         }
     }

@@ -57,8 +57,14 @@ public:
         }
         aa2num[(unsigned char)'U'] = aa2num[(unsigned char)'u'] = 3;
         aa2num[(unsigned char)'N'] = aa2num[(unsigned char)'n'] = 4;
-        // simple match/transition/transversion probability model; only
-        // the masking likelihood ratios consume it
+        // +1/-1 uniform-frequency nucleotide model at its exact
+        // ungapped lambda (sum_ab p_a p_b e^{lambda*s_ab} = 1 gives
+        // e^lambda = 3): likelihood ratio 3 for a match, 1/3 for a
+        // mismatch, 0 for ambiguous (N never part of a repeat).  The
+        // REAL mmseqs matrix is unknowable here (empty submodule); this
+        // model is shared verbatim with the framework's native masker
+        // (native/tantan_mask.cpp) so masked builds stay comparable
+        // k-mer-for-k-mer (tests/test_golden_matrix.py mask cells).
         probMatrix = new double *[alphabetSize];
         probMatrix[0] = new double[alphabetSize * alphabetSize];
         for (int i = 1; i < alphabetSize; ++i) {
@@ -67,13 +73,11 @@ public:
         for (int i = 0; i < alphabetSize; ++i) {
             for (int j = 0; j < alphabetSize; ++j) {
                 if (i == 4 || j == 4) {
-                    probMatrix[i][j] = 1.0;   // ambiguous: neutral ratio
+                    probMatrix[i][j] = 0.0;   // N never aligns in a repeat
                 } else if (i == j) {
-                    probMatrix[i][j] = 2.9;   // tantan-like match ratio
-                } else if ((i ^ j) == 2) {
-                    probMatrix[i][j] = 0.42;  // transition (A<->G, C<->T)
+                    probMatrix[i][j] = 3.0;
                 } else {
-                    probMatrix[i][j] = 0.28;  // transversion
+                    probMatrix[i][j] = 1.0 / 3.0;
                 }
             }
         }
