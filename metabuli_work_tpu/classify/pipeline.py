@@ -372,35 +372,61 @@ class Classifier:
         # resident single-chip index: 64-byte block rows (4 entries per
         # row) — wider gather rows run ~2x the bytes/s of entry rows on
         # v5e, so the candidate fetch reads aligned blocks and shuffles
-        # the window out on the VPU (match_jax._gather_blocks)
-        from ..ops.match_jax import pack_db_blocks
+        # the window out on the VPU (match_jax._gather_blocks).  Run
+        # starts are padded to block boundaries (align_runs4) so the
+        # hash-probe path fetches exactly ceil(cap/4) blocks with no
+        # shuffle; ~15-37% more HBM for one fewer 12 MB gather/batch.
+        from ..ops.match_jax import align_runs4, pack_db_blocks
 
-        self.db_m = len(self.index.values)
-        self.db_quad = jnp.asarray(pack_db_blocks(
-            pack_db_quad(self.index.values, db_ef, sp_euk)))
+        use_hash = os.environ.get("METABULI_HASH_PROBE", "1") == "1"
+        if use_hash:
+            # alignment costs HBM (runs pad to 4-entry blocks; short-run
+            # DBs inflate up to ~2.5x) — only take the one-fewer-gather
+            # win while the padded quad stays under a budget
+            runs = self.index._aa_runs()
+            n_pad = int((((runs + 3) // 4) * 4).sum())
+            align_cap = float(os.environ.get("METABULI_QUAD_ALIGN_GB",
+                                             "6")) * (1 << 30)
+            self._aligned = n_pad * 16 <= align_cap
+        if use_hash and self._aligned:
+            v_pad, ef_pad, sp_pad, starts_pad = align_runs4(
+                self.index.values, db_ef, sp_euk)
+            self.db_m = len(v_pad)
+            self.db_quad = jnp.asarray(pack_db_blocks(
+                pack_db_quad(v_pad, ef_pad, sp_pad)))
+        elif use_hash:
+            starts_pad = None
+            self.db_m = len(self.index.values)
+            self.db_quad = jnp.asarray(pack_db_blocks(
+                pack_db_quad(self.index.values, db_ef, sp_euk)))
+        else:
+            self._aligned = False
+            self.db_m = len(self.index.values)
+            self.db_quad = jnp.asarray(pack_db_blocks(
+                pack_db_quad(self.index.values, db_ef, sp_euk)))
         # AA-part hash table: `chain` row gathers resolve each query's
         # run start vs 1 + bucket_steps chained gathers for the bucket
         # bisection (the bisection was the single largest device cost,
         # ~15 ms of the 22 ms step).  METABULI_HASH_PROBE=0 restores the
         # bisection.
-        if os.environ.get("METABULI_HASH_PROBE", "1") == "1":
+        if use_hash:
             # Probe cost is gather-byte-bound (~2.6 GB/s effective on
             # v5e through the tunnel; profiling/prof_gather_model.py),
             # and each chain level is one [N]-row 64 B gather per batch
             # (~5 ms at N=190k).  chain=1 (single unchained gather) won
             # the 2026-08-21 A/B: 27.6k vs 27.0k reads/s on a host-bound
             # box, and frees ~5 ms/batch of device time — so it is the
-            # DEFAULT whenever even a worst-case table (3 doublings
-            # above the load-2.5 floor) stays under ~3 GiB of HBM;
-            # bigger DBs fall back to chain=2.  METABULI_HASH_CHAIN
-            # overrides (=3 restores the smallest table).
+            # DEFAULT up to a ~3 GiB table budget (METABULI_HASH_GB);
+            # bigger DBs land on the largest chain that fits.
+            # METABULI_HASH_CHAIN overrides (=3 smallest table).
             mc_env = os.environ.get("METABULI_HASH_CHAIN")
             mc = int(mc_env) if mc_env is not None else 1
             cap_b = int(float(os.environ.get("METABULI_HASH_GB", "3"))
                         * (1 << 30))
             ht, self.hash_log2_rows, self.hash_chain = \
                 build_aa_hash(self.index.values, max_chain=mc,
-                              max_bytes=0 if mc_env else cap_b)
+                              max_bytes=0 if mc_env else cap_b,
+                              starts_override=starts_pad)
             self.hash_table = jnp.asarray(ht)
         else:
             self.hash_table = None
@@ -619,6 +645,7 @@ class Classifier:
                 hash_log2_rows=self.hash_log2_rows,
                 hash_chain=self.hash_chain,
                 db_m=self.db_m,
+                aligned=getattr(self, '_aligned', False),
             )
             # column 0 is the stats header; one async copy carries both
             # the stats and the estimated path prefix home
@@ -1297,7 +1324,8 @@ class Classifier:
                 n_quot=n_quot, part_w=part_w,
                 hash_table=self.hash_table,
                 hash_log2_rows=self.hash_log2_rows,
-                hash_chain=self.hash_chain, db_m=self.db_m)
+                hash_chain=self.hash_chain, db_m=self.db_m,
+                aligned=getattr(self, "_aligned", False))
             for arr in (records, packed2):
                 try:
                     arr.copy_to_host_async()

@@ -32,20 +32,28 @@ from ..taxonomy import Taxonomy
 from .format import KmerIndex, export_reference_format, save_index
 
 
-def extract_cds_kmers(seq: str, blocks, syncmer=False, smer_len=5):
-    """In-frame metamers of CDS blocks (start, end 0-based incl, strand)."""
+def extract_cds_kmers(seq: str, blocks, syncmer=False, smer_len=5,
+                      k=None, aa_only=False):
+    """In-frame k-mers of CDS blocks (start, end 0-based incl, strand):
+    metamers by default, AA-only 12-mers for the common-k-mer DB
+    (k=12, aa_only=True — the reference's common build runs the same
+    Prodigal-block extraction with dna2aa scanners,
+    IndexCreator.cpp:258-259 fillTargetKmerBuffer)."""
     codes = seq_to_codes(seq)
     out = []
+    kw = {} if k is None else {"k": k}
+    min_nt = 3 * (k or 8)
     for start, end, strand in blocks:
         start = max(0, int(start))
         end = min(len(codes) - 1, int(end))
         used = end - start + 1
         used -= used % 3
-        if used < 24:
+        if used < min_nt:
             continue
         fwd = strand >= 0
         fk = scan_frame(codes, start if fwd else start + (end - start + 1 - used),
-                        used, fwd, syncmer=syncmer, smer_len=smer_len)
+                        used, fwd, syncmer=syncmer, smer_len=smer_len,
+                        aa_only=aa_only, **kw)
         out.append(fk.kmers)
     return np.concatenate(out) if out else np.zeros(0, np.uint64)
 

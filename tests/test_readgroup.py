@@ -158,8 +158,13 @@ def test_common_kmer_db(tmp_path):
     (tmp_path / "fl.txt").write_text(str(fasta) + "\n")
     (tmp_path / "a2t.map").write_text("accession\taccession.version\ttaxid\tgi\nA\tA.1\t11\t0\nB\tB.1\t21\t0\n")
 
+    # "always": the documented >= 2-species selection (the binary only
+    # applies it on multi-flush merges; orf_prediction off for a
+    # deterministic 6-frame oracle here)
     vals = build_common_kmer_db(str(tmp_path / "cdb"), str(tmp_path / "fl.txt"),
-                                str(tmp_path / "a2t.map"), str(d))
+                                str(tmp_path / "a2t.map"), str(d),
+                                common_filter="always",
+                                orf_prediction=False)
     assert len(vals) > 100  # k-mers of the shared 600bp block
     assert np.all(np.diff(vals.astype(np.uint64)) > 0)
 
@@ -168,6 +173,15 @@ def test_common_kmer_db(tmp_path):
     mid = extract_target_aa_kmers(shared[100:200])
     present = np.isin(mid, vals)
     assert present.mean() > 0.9
+
+    # "auto" on a single-flush input mirrors the binary: full deduped
+    # set, one row per (value, species), non-decreasing values
+    all_vals = build_common_kmer_db(
+        str(tmp_path / "cdb2"), str(tmp_path / "fl.txt"),
+        str(tmp_path / "a2t.map"), str(d), orf_prediction=False)
+    assert len(all_vals) > len(vals)
+    assert np.all(np.diff(all_vals.astype(np.uint64)) >= 0)
+    assert np.isin(vals, all_vals).all()
 
 
 def test_pair_weights_spill_equals_in_ram():
