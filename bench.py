@@ -216,10 +216,6 @@ def measure_reference(genomes, reads) -> float:
 
 def main():
     _enable_compile_cache()
-    # probe gathers dominate; a bigger hash budget buys chain 2 instead
-    # of 3 at the ~100M-kmer scale (4.3 GB table + 4.2 GB aligned quad
-    # still fit 16 GB HBM) — one fewer 12 MB gather per batch
-    os.environ.setdefault("METABULI_HASH_GB", "5")
     rng = np.random.default_rng(0)
     t0 = time.time()
     index, tax, genomes = build_synthetic(rng)

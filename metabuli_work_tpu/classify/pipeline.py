@@ -199,7 +199,14 @@ class Classifier:
                 _mj.build_buckets(self.index.values)
             self.bucket_lo = jnp.asarray(b_lo)
             self.db_aa_lo = jnp.asarray(aa_lo)
-        self.cap = int(min(max(self.index.cap_aa_run(), 4), params.max_cap))
+        # caps round UP to multiples of 4: the candidate window then
+        # fills whole 64-byte blocks (aligned gathers fetch exactly
+        # cap/4 rows), and odd caps dodge a measured XLA pathology —
+        # the cap=15 executable ran ~5x slower than cap=14/16 on v5e
+        # (2026-08-21 A/B at the 105M-kmer bench DB)
+        self._cap_ceiling = -(-self.index.max_aa_run() // 4) * 4
+        self.cap = int(min(max(-(-self.index.cap_aa_run() // 4) * 4, 4),
+                           params.max_cap))
         self.taxonomer = VectorTaxonomer(
             self.taxonomy,
             kmer_format=self.kmer_format,
@@ -778,8 +785,8 @@ class Classifier:
                                           win_frac=256)
             hdr = np.asarray(ctx["prefix"])
             st = hdr[:4, 0]
-        while int(st[0]) > 0 and ctx["cap"] < self.index.max_aa_run():
-            cap = min(ctx["cap"] * 2, self.index.max_aa_run())
+        while int(st[0]) > 0 and ctx["cap"] < self._cap_ceiling:
+            cap = min(ctx["cap"] * 2, self._cap_ceiling)
             self.cap = max(self.cap, cap)
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
                                           ctx["a2"], ctx["l2"], cap=cap)
@@ -1169,8 +1176,8 @@ class Classifier:
             ctx = redisp(cap=ctx["cap"], win_frac=256)
             hdr, rows = _fetch_rows(ctx["prefix"])
             st = hdr[:, :5, 0]
-        while int(st[:, 0].max()) > 0 and ctx["cap"] < self.index.max_aa_run():
-            cap = min(ctx["cap"] * 2, self.index.max_aa_run())
+        while int(st[:, 0].max()) > 0 and ctx["cap"] < self._cap_ceiling:
+            cap = min(ctx["cap"] * 2, self._cap_ceiling)
             self.cap = max(self.cap, cap)
             ctx = redisp(cap=cap)
             hdr, rows = _fetch_rows(ctx["prefix"])
@@ -1352,8 +1359,8 @@ class Classifier:
                                             cap=ctx["cap"], win_frac=256)
             rec = np.asarray(ctx["records"])
             st = rec[:5, 0]
-        while int(st[0]) > 0 and ctx["cap"] < self.index.max_aa_run():
-            cap = min(ctx["cap"] * 2, self.index.max_aa_run())
+        while int(st[0]) > 0 and ctx["cap"] < self._cap_ceiling:
+            cap = min(ctx["cap"] * 2, self._cap_ceiling)
             self.cap = max(self.cap, cap)
             ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
                                             ctx["l1"], ctx["a2"], ctx["l2"],
@@ -1499,8 +1506,8 @@ class Classifier:
         from .taxonomer import sort_matches
 
         # deferred overflow check: re-dispatch with a bigger cap if needed
-        while int(ctx["overflow"]) > 0 and ctx["cap"] < self.index.max_aa_run():
-            cap = min(ctx["cap"] * 2, self.index.max_aa_run())
+        while int(ctx["overflow"]) > 0 and ctx["cap"] < self._cap_ceiling:
+            cap = min(ctx["cap"] * 2, self._cap_ceiling)
             self.cap = max(self.cap, cap)
             ctx = self._dispatch_batch(ctx["names"], ctx["a1"], ctx["l1"],
                                        ctx["a2"], ctx["l2"], cap=cap)
@@ -1587,9 +1594,9 @@ class Classifier:
                     hash_chain=self.hash_chain)
                 del quad_r, hash_r
             sel, ham, rh, ef, sp, dna, over = acc
-            if int(over) == 0 or cap >= self.index.max_aa_run():
+            if int(over) == 0 or cap >= self._cap_ceiling:
                 break
-            cap = min(cap * 2, self.index.max_aa_run())
+            cap = min(cap * 2, self._cap_ceiling)
             self.cap = max(self.cap, cap)
         sel_h = np.asarray(sel)
         c, n = np.nonzero(sel_h)
@@ -1664,9 +1671,9 @@ class Classifier:
                         paired=False, bucket_lo=self.bucket_lo,
                         db_aa_lo=self.db_aa_lo, bucket_shift=self.bucket_shift,
                         bucket_steps=self.bucket_steps)
-                    if int(overflow) == 0 or cap >= self.index.max_aa_run():
+                    if int(overflow) == 0 or cap >= self._cap_ceiling:
                         break
-                    cap = min(cap * 2, self.index.max_aa_run())
+                    cap = min(cap * 2, self._cap_ceiling)
                     self.cap = max(self.cap, cap)
                 m = compact_jax.decode_matches(
                     compact_jax.fetch_compacted((packed, count)), MATCH_DTYPE)
