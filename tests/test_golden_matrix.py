@@ -25,6 +25,13 @@ extended-ORF/intergenic machinery run on typical inputs):
   - extract             (Reporter.cpp:296-415)
   - classifiedRefiner   (src/util/classifiedRefiner.cpp)
 
+`filter` has NO golden cell by design: the reference's QueryFilter is
+gutted upstream — its contaminant-matching loop is a placeholder
+(`for (auto db : contams) { cout << ""; }`, QueryFilter.cpp:179-182),
+so the binary never matches anything and keeps every read.  This
+framework's `filter` implements the documented semantics (classify vs
+contaminant DBs, split kept/removed) and is pinned by its own tests.
+
 Skipped when the reference sources or a C++ toolchain are unavailable.
 """
 
