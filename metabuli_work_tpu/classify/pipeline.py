@@ -187,6 +187,19 @@ class Classifier:
             or float(_os.environ.get("METABULI_HBM_GB", "0") or 0)
         self._hbm_budget_gb = budget_gb
         quad_bytes = int(self.index.values.nbytes) * 2   # 16 B/entry packed
+        if budget_gb > 0 and self.mesh is None:
+            # resident mode may block-ALIGN run starts (align_runs4,
+            # up to ~2.5x padding for short-run DBs) — size the
+            # streaming decision on the true resident footprint so a DB
+            # just under budget cannot OOM after padding (alignment is
+            # skipped above METABULI_QUAD_ALIGN_GB, so use the plain
+            # size in that regime)
+            runs = self.index._aa_runs()
+            padded = int((((runs + 3) // 4) * 4).sum()) * 16
+            align_cap = float(_os.environ.get("METABULI_QUAD_ALIGN_GB",
+                                              "6")) * (1 << 30)
+            if padded <= align_cap:
+                quad_bytes = max(quad_bytes, padded)
         self._streaming = (self.mesh is None and budget_gb > 0
                            and quad_bytes > budget_gb * (1 << 30) * 0.5)
         if self.mesh is None and not self._streaming:
