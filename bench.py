@@ -68,7 +68,37 @@ def _enable_compile_cache():
 
 
 def build_synthetic(rng):
-    from metabuli_work_tpu.index.builder import IndexBuilder
+    """Deterministic synthetic DB + genomes; disk-cached by config key
+    (the 105M-kmer extraction+sort costs ~5 min of host time per run —
+    the cache cuts repeat/driver runs to an mmap load)."""
+    cache = os.path.join(os.path.expanduser("~/.cache"),
+                         f"mwt_bench_db_{N_GENOMES}_{GENOME_LEN}.npz")
+    tax = _bench_taxonomy()
+    if os.path.exists(cache):
+        try:
+            from metabuli_work_tpu.index.format import KmerIndex
+
+            with np.load(cache, allow_pickle=False) as z:
+                genomes = [g.decode() for g in z["genomes"]]
+                index = KmerIndex(z["v"], z["t"], z["s"], tax, {
+                    "kmer_format": 2, "syncmer": True, "smer_len": 5,
+                    "reduced_aa": 0, "mask_mode": 0, "mask_prob": 0.9,
+                    "skip_redundancy": 1})
+            print(f"# DB cache hit: {cache}", file=sys.stderr)
+            return index, tax, genomes
+        except Exception as e:
+            print(f"# DB cache unreadable ({e}); rebuilding", file=sys.stderr)
+    index, tax, genomes = _build_synthetic_fresh(rng, tax)
+    try:
+        np.savez(cache, v=np.asarray(index.values),
+                 t=np.asarray(index.taxids), s=np.asarray(index.species),
+                 genomes=np.array([g.encode() for g in genomes]))
+    except OSError:
+        pass
+    return index, tax, genomes
+
+
+def _bench_taxonomy():
     from metabuli_work_tpu.taxonomy import Taxonomy
 
     n = N_GENOMES
@@ -83,14 +113,19 @@ def build_synthetic(rng):
         name_pool.append(f"Species{i}")
         name_idx.append(3 + i)
         int2orig.append(1000 + i)
-    tax = Taxonomy(np.array(parent), np.array(rank_idx), np.array(name_idx),
-                   rank_pool, name_pool, np.array(int2orig))
+    return Taxonomy(np.array(parent), np.array(rank_idx),
+                    np.array(name_idx), rank_pool, name_pool,
+                    np.array(int2orig))
+
+
+def _build_synthetic_fresh(rng, tax):
+    from metabuli_work_tpu.index.builder import IndexBuilder
 
     genomes = []
     builder = IndexBuilder(tax, syncmer=True, mask_mode=0)
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
     bases = [acgt[rng.integers(0, 4, size=GENOME_LEN)] for _ in range(2)]
-    for i in range(n):
+    for i in range(N_GENOMES):
         g = bases[i % 2].copy()
         mut = rng.random(GENOME_LEN) < 0.035  # ~96.5% within-genus identity
         g[mut] = acgt[rng.integers(0, 4, size=int(mut.sum()))]

@@ -119,7 +119,7 @@ _HASH_MUL2 = np.uint32(0x85EBCA6B)
 
 def build_aa_hash(values: np.ndarray, load: float = 2.5,
                   max_chain: int = 3, min_log2_rows: int = 0,
-                  max_bytes: int = 0):
+                  max_bytes: int = 0, starts_override=None):
     """Host-side bucketized hash of unique AA parts -> run starts.
 
     Returns (table uint32 [R, 16], log2_rows, chain): bucketized open
@@ -129,10 +129,23 @@ def build_aa_hash(values: np.ndarray, load: float = 2.5,
     The reference's analogue is the `split` checkpoint table + two-
     pointer merge (IndexCreator.cpp:811-866, KmerMatcher.cpp:251-466);
     here point lookup wins because queries arrive unsorted on device.
+
+    Each slot also stores the run LENGTH (23 bits, saturating) above
+    the occupancy flag, so probes learn candidate-cap overflow from the
+    lookup itself instead of gathering a cap+1'th sentinel entry.
+
+    starts_override: per-unique-AA run starts in a DIFFERENT coordinate
+    space (align_runs4's block-aligned padded layout); run lengths are
+    still measured on the unpadded `values`.
     """
     aa = (values >> np.uint64(DNA_BITS)).astype(np.uint64)
     uniq, starts = np.unique(aa, return_index=True)  # values sorted -> left edges
     n = len(uniq)
+    run_len = np.diff(starts, append=len(values)).astype(np.uint32)
+    run_len = np.minimum(run_len, np.uint32((1 << 23) - 1))
+    if starts_override is not None:
+        assert len(starts_override) == n
+        starts = np.asarray(starts_override)
     lo32 = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi8 = (uniq >> np.uint64(32)).astype(np.uint32)
     # min_log2_rows: mesh-sharded probes need one uniform table geometry
@@ -170,13 +183,16 @@ def build_aa_hash(values: np.ndarray, load: float = 2.5,
     table = np.zeros((R, HASH_ROW_U32), dtype=np.uint32)
     cols = 3 * slot_of
     table[row_of, cols] = lo32[order]
-    table[row_of, cols + 1] = hi8[order] | np.uint32(0x100)
+    table[row_of, cols + 1] = (hi8[order] | np.uint32(0x100)
+                               | (run_len[order] << np.uint32(9)))
     table[row_of, cols + 2] = starts[order].astype(np.uint32)
     return table, log2_rows, chain
 
 
 def _hash_search(q_aa, hash_table, log2_rows: int, chain: int, M):
-    """Point lookup of run starts: ``chain`` row gathers + VPU compares."""
+    """Point lookup of run starts: ``chain`` row gathers + VPU compares.
+    Returns (lo [N] i32 — M when absent, run_len [N] i32 — 0 when
+    absent)."""
     U32 = jnp.uint32
     q_lo = (q_aa & _U64(0xFFFFFFFF)).astype(U32)
     q_hi = (q_aa >> _U64(32)).astype(U32)
@@ -184,13 +200,50 @@ def _hash_search(q_aa, hash_table, log2_rows: int, chain: int, M):
         >> U32(32 - log2_rows)
     R = hash_table.shape[0]
     lo = jnp.full(q_aa.shape, M, dtype=jnp.int32)
+    rlen = jnp.zeros(q_aa.shape, dtype=jnp.int32)
     for c in range(chain):
         row = hash_table[jnp.minimum(h.astype(jnp.int32) + c, R - 1)]  # [N, 16]
         for s in range(HASH_SLOTS):
+            w1 = row[:, 3 * s + 1]
             hit = (row[:, 3 * s] == q_lo) \
-                & (row[:, 3 * s + 1] == (q_hi | U32(0x100)))
+                & ((w1 & U32(0x1FF)) == (q_hi | U32(0x100)))
             lo = jnp.where(hit, row[:, 3 * s + 2].astype(jnp.int32), lo)
-    return lo
+            rlen = jnp.where(hit, (w1 >> U32(9)).astype(jnp.int32), rlen)
+    return lo, rlen
+
+
+def align_runs4(values: np.ndarray, *payloads):
+    """Pad the sorted entry arrays so every AA run starts on a 4-entry
+    (64-byte block) boundary: with run lengths known from the hash, the
+    candidate window fetch then reads exactly ceil(cap/4) aligned block
+    rows instead of ceil((cap+5)/4) unaligned ones — one fewer 12 MB
+    row-gather per batch at cap 8 (the probe is gather-byte-bound).
+
+    Sentinel padding entries have all-ones values (AA part can never
+    match a query).  Returns (values_p, *payloads_p, starts_padded)
+    where starts_padded are the per-unique-AA run starts in the padded
+    coordinate space (feed to build_aa_hash(starts_override=...))."""
+    aa = (np.asarray(values) >> np.uint64(DNA_BITS))
+    _, starts = np.unique(aa, return_index=True)
+    m = len(values)
+    lens = np.diff(starts, append=m)
+    new_lens = ((lens + 3) // 4) * 4
+    new_starts = np.zeros(len(starts), dtype=np.int64)
+    np.cumsum(new_lens[:-1], out=new_starts[1:])
+    total = int(new_lens.sum())
+    run_of = np.repeat(np.arange(len(starts)), lens)
+    idx = np.arange(m) - starts[run_of] + new_starts[run_of]
+    values_p = np.full(total, np.uint64(0xFFFFFFFFFFFFFFFF),
+                       dtype=np.uint64)
+    values_p[idx] = values
+    outs = [values_p]
+    for p in payloads:
+        p = np.asarray(p)
+        pp = np.zeros(total, dtype=p.dtype)
+        pp[idx] = p
+        outs.append(pp)
+    outs.append(new_starts)
+    return tuple(outs)
 
 
 def pack_db_quad(values: np.ndarray, euler_first: np.ndarray,
@@ -233,22 +286,31 @@ def pack_db_blocks(quad: np.ndarray, pad_entries: int = 256) -> np.ndarray:
     return blk.reshape(total // 4, 16)
 
 
-def _gather_blocks(db_blk, lo, cap):
-    """[cap+1, N, 4] candidate quads from 64-byte block rows.
+def _gather_blocks(db_blk, lo, win, aligned: bool = False):
+    """[win, N, 4] candidate quads from 64-byte block rows.
 
-    Fetches nblk = (cap+7)//4 consecutive blocks starting at lo>>2; the
-    window entry j sits at in-superblock offset (lo&3)+j, selected with
-    4 vector compares (lo&3 is in [0, 3])."""
+    aligned=False: fetches ceil((win+3)/4) consecutive blocks starting
+    at lo>>2; window entry j sits at in-superblock offset (lo&3)+j,
+    selected with 4 vector compares (lo&3 is in [0, 3]).
+    aligned=True (run starts block-aligned via align_runs4): exactly
+    ceil(win/4) block gathers and NO shuffle — at win=cap=8 that is 2
+    row gathers instead of 3 (~4.5 ms/batch on v5e at N=190k)."""
     R = db_blk.shape[0]
     n = lo.shape[0]
-    nblk = (cap + 7) // 4
     b0 = lo >> 2
+    if aligned:
+        nblk = (win + 3) // 4
+        blocks = [db_blk[jnp.clip(b0 + k, 0, R - 1)].reshape(n, 4, 4)
+                  for k in range(nblk)]
+        ent = jnp.concatenate(blocks, axis=1)    # [N, 4*nblk, 4]
+        return jnp.moveaxis(ent[:, :win, :], 1, 0)
+    nblk = (win + 6) // 4
     blocks = [db_blk[jnp.clip(b0 + k, 0, R - 1)].reshape(n, 4, 4)
               for k in range(nblk)]
     ent = jnp.concatenate(blocks, axis=1)        # [N, 4*nblk, 4]
     r = (lo & 3).astype(jnp.int32)
     outs = []
-    for j in range(cap + 1):
+    for j in range(win):
         sel_idx = r + j
         acc = jnp.zeros((n, 4), db_blk.dtype)
         for t in range(j, j + 4):
@@ -292,6 +354,7 @@ def match_kmers_quad(
     hash_log2_rows: int = 0,
     hash_chain: int = 0,
     db_m: int = None,
+    aligned: bool = False,
 ):
     """Probe a u32-quad-packed DB (see pack_db_quad) — cap-MAJOR layout.
 
@@ -316,26 +379,33 @@ def match_kmers_quad(
     else:
         M = db_m if db_m is not None else db_quad.shape[0]
     q_aa = q_kmers >> _U64(DNA_BITS)
+    rlen = None
     if lo_override is not None:
         lo = lo_override
     elif hash_table is not None:
-        lo = _hash_search(q_aa, hash_table, hash_log2_rows, hash_chain, M)
+        lo, rlen = _hash_search(q_aa, hash_table, hash_log2_rows,
+                                hash_chain, M)
     else:
         lo = _bucket_search(q_aa, q_valid, bucket_lo, db_aa_lo, bucket_shift,
                             bucket_steps, M)
 
-    offs = jnp.arange(cap + 1, dtype=jnp.int32)[:, None]
+    # with run lengths from the hash, overflow is known from the lookup
+    # and the candidate window shrinks to exactly cap entries; without
+    # them the window keeps a cap+1'th sentinel entry for the check
+    win = cap if rlen is not None else cap + 1
+    offs = jnp.arange(win, dtype=jnp.int32)[:, None]
     pos = lo[None, :] + offs
     if db_quad.shape[1] == 16:
         # 64-byte block rows (4 entries each, pack_db_blocks): gathers
         # are byte-bound at ~1.5 GB/s for 16 B rows but ~3.1 GB/s for
-        # 64 B rows (profiling/prof_gather_model.py), so fetching
-        # ceil((cap+4)/4) aligned blocks and shuffling the cap+1
-        # entries out on the VPU beats cap+1 narrow row gathers ~25%
-        t_quad = _gather_blocks(db_quad, lo, cap)
+        # 64 B rows (profiling/prof_gather_model.py), so fetching a few
+        # aligned blocks and shuffling the window out on the VPU beats
+        # win narrow row gathers ~25% (no shuffle at all when run
+        # starts are block-aligned, align_runs4)
+        t_quad = _gather_blocks(db_quad, lo, win, aligned=aligned)
     else:
         idx = jnp.clip(pos, 0, M - 1)
-        t_quad = db_quad[idx]                   # [cap+1, N, 4]
+        t_quad = db_quad[idx]                   # [win, N, 4]
     v_lo = t_quad[..., 0]
     v_hi = t_quad[..., 1]
     # AA equality on the split halves: high 32 AA bits live in v_hi,
@@ -344,8 +414,12 @@ def match_kmers_quad(
     q_low8 = (q_aa & _U64(0xFF)).astype(U32)
     cmask = (v_hi == q_hi[None, :]) & ((v_lo >> U32(24)) == q_low8[None, :]) \
         & (pos < M) & q_valid[None, :]
-    overflow = jnp.sum(cmask[cap]).astype(jnp.int32)
-    cmask = cmask[:cap]
+    if rlen is not None:
+        cmask = cmask & (offs < rlen[None, :])
+        overflow = jnp.sum(q_valid & (rlen > cap)).astype(jnp.int32)
+    else:
+        overflow = jnp.sum(cmask[cap]).astype(jnp.int32)
+        cmask = cmask[:cap]
 
     t_dna = (v_lo[:cap] & U32((1 << DNA_BITS) - 1)).astype(jnp.int32)
     q_dna = (q_kmers & _U64((1 << DNA_BITS) - 1)).astype(jnp.int32)[None, :]

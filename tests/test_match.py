@@ -125,13 +125,21 @@ def test_block_gather_equals_row_gather():
     blk = match_jax.pack_db_blocks(quad)
     assert blk.shape[1] == 16
     for cap in (4, 8, 16):
+        win = cap + 1
         lo = rng.integers(0, m + 1, size=n).astype(np.int32)  # incl. miss=m
         got = np.asarray(match_jax._gather_blocks(
-            jnp.asarray(blk), jnp.asarray(lo), cap))
-        offs = np.arange(cap + 1)[:, None]
+            jnp.asarray(blk), jnp.asarray(lo), win))
+        offs = np.arange(win)[:, None]
         pos = lo[None, :] + offs
-        pad = np.full((cap + 8, 4), 0xFFFFFFFF, dtype=np.uint32)
+        pad = np.full((win + 8, 4), 0xFFFFFFFF, dtype=np.uint32)
         quad_pad = np.concatenate([quad, pad])
         want = quad_pad[pos]
         assert got.shape == want.shape
         assert (got == want).all()
+        # aligned mode: 4-aligned starts, exactly ceil(win/4) block rows
+        lo4 = (rng.integers(0, m // 4, size=n) * 4).astype(np.int32)
+        got4 = np.asarray(match_jax._gather_blocks(
+            jnp.asarray(blk), jnp.asarray(lo4), cap, aligned=True))
+        want4 = quad_pad[lo4[None, :] + np.arange(cap)[:, None]]
+        assert got4.shape == want4.shape
+        assert (got4 == want4).all()
