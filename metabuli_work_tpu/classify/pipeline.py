@@ -468,6 +468,12 @@ class Classifier:
         env_da = os.environ.get("METABULI_DEVICE_ASSIGN")
         self._device_assign = (env_da == "1") and not p.em
         self._combine_k = 8
+        # two-tier candidate window (docs/PERF_NOTES.md lever 1):
+        # 1-block window for all queries + compacted side gather for the
+        # rare long-run queries.  Experimental, env-gated; requires the
+        # aligned block layout.  Overflow retries fall back single-tier.
+        self._two_tier = (os.environ.get("METABULI_TWO_TIER") == "1"
+                          and getattr(self, "_aligned", False))
 
     # ------------------------------------------------------------------ #
     def _read_batches(self, path1, path2=None) -> Iterator[tuple]:
@@ -630,7 +636,8 @@ class Classifier:
             self._width_lo_streak = 0
 
     def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None,
-                           path_width=None, win_frac=None, path_block=None):
+                           path_width=None, win_frac=None, path_block=None,
+                           two_tier=None):
         if self.mesh is not None:
             return self._dispatch_batch_dp_sharded(
                 names, a1, l1, a2, l2, cap=cap, path_width=path_width,
@@ -642,6 +649,8 @@ class Classifier:
         from ..models.flagship import fused_step_dp
 
         B = len(names)
+        if two_tier is None:
+            two_tier = getattr(self, "_two_tier", False)
         cap = cap or self.cap
         path_width = path_width or self._path_width
         win_frac = win_frac or self._win_frac
@@ -666,6 +675,7 @@ class Classifier:
                 hash_chain=self.hash_chain,
                 db_m=self.db_m,
                 aligned=getattr(self, '_aligned', False),
+                two_tier=two_tier,
             )
             # column 0 is the stats header; one async copy carries both
             # the stats and the estimated path prefix home
@@ -684,7 +694,7 @@ class Classifier:
                                  self.smer_len, win_frac)
         return {
             "dp": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
-            "a1": a1, "a2": a2,
+            "a1": a1, "a2": a2, "two_tier": two_tier,
             "paths": packed_hdr, "prefix": prefix, "est": est,
             "resident": resident, "n_quot": n_quot, "part_w": part_w,
         }
@@ -795,14 +805,25 @@ class Classifier:
             self._win_frac = min(self._win_frac + 24, 256)
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
                                           ctx["a2"], ctx["l2"], cap=ctx["cap"],
-                                          win_frac=256)
+                                          win_frac=256,
+                                          two_tier=ctx.get("two_tier", False))
+            hdr = np.asarray(ctx["prefix"])
+            st = hdr[:4, 0]
+        # two-tier overflow (more long-run queries than side slots, or a
+        # run beyond cap): K is not an escalating knob — re-run this
+        # batch single-tier, then the cap loop below applies as usual
+        if ctx.get("two_tier") and int(st[0]) > 0:
+            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
+                                          ctx["a2"], ctx["l2"], cap=ctx["cap"],
+                                          two_tier=False)
             hdr = np.asarray(ctx["prefix"])
             st = hdr[:4, 0]
         while int(st[0]) > 0 and ctx["cap"] < self._cap_ceiling:
             cap = min(ctx["cap"] * 2, self._cap_ceiling)
             self.cap = max(self.cap, cap)
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
-                                          ctx["a2"], ctx["l2"], cap=cap)
+                                          ctx["a2"], ctx["l2"], cap=cap,
+                                          two_tier=False)
             hdr = np.asarray(ctx["prefix"])
             st = hdr[:4, 0]
         # blocked-packer lane overflow: a (read*frame, cap) lane emitted
@@ -811,7 +832,8 @@ class Classifier:
             self._path_block *= 2
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
                                           ctx["a2"], ctx["l2"], cap=ctx["cap"],
-                                          path_block=self._path_block)
+                                          path_block=self._path_block,
+                                          two_tier=ctx.get("two_tier", False))
             hdr = np.asarray(ctx["prefix"])
             st = hdr[:4, 0]
         # path-compaction width overflow: re-run with a doubled static width
@@ -819,7 +841,8 @@ class Classifier:
             self._path_width = max(self._path_width, ctx["paths"].shape[1] - 1) * 2
             ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
                                           ctx["a2"], ctx["l2"], cap=ctx["cap"],
-                                          path_width=self._path_width)
+                                          path_width=self._path_width,
+                                          two_tier=ctx.get("two_tier", False))
             hdr = np.asarray(ctx["prefix"])
             st = hdr[:4, 0]
 

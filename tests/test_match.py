@@ -143,3 +143,99 @@ def test_block_gather_equals_row_gather():
         want4 = quad_pad[lo4[None, :] + np.arange(cap)[:, None]]
         assert got4.shape == want4.shape
         assert (got4 == want4).all()
+
+
+def _mixed_run_db(rng, n_aa=60, max_run=16):
+    """Sorted values with AA runs of mixed lengths (many > 4)."""
+    aa_parts = np.sort(rng.integers(0, 2**40, size=n_aa, dtype=np.uint64))
+    values = []
+    for j, aa in enumerate(aa_parts):
+        run = int(rng.integers(1, max_run + 1)) if j % 3 else \
+            int(rng.integers(5, max_run + 1))   # force long runs
+        dna = rng.choice(2**24, size=run, replace=False)
+        for d in np.sort(dna):
+            values.append((aa << np.uint64(24)) | np.uint64(d))
+    return np.array(values, dtype=np.uint64)
+
+
+def test_two_tier_equals_single_tier():
+    """two_tier=True must reproduce the single-tier probe exactly on a
+    DB with mixed AA-run lengths (1..16, many > 4)."""
+    import jax.numpy as jnp
+
+    from metabuli_work_tpu.ops import match_jax
+
+    rng = np.random.default_rng(23)
+    values = _mixed_run_db(rng)
+    m = len(values)
+    ef = rng.integers(0, 1 << 20, size=m).astype(np.uint32)
+    sp = rng.integers(1, 1 << 10, size=m).astype(np.uint32)
+    v_pad, ef_pad, sp_pad, starts_pad = match_jax.align_runs4(values, ef, sp)
+    blk = jnp.asarray(match_jax.pack_db_blocks(
+        match_jax.pack_db_quad(v_pad, ef_pad, sp_pad)))
+    ht, log2_rows, chain = match_jax.build_aa_hash(
+        values, starts_override=starts_pad)
+    ht = jnp.asarray(ht)
+
+    # queries: mostly hits (perturbed dna), some misses
+    qs = []
+    for _ in range(300):
+        if rng.random() < 0.8:
+            base = values[rng.integers(0, m)]
+            dna = np.uint64(rng.integers(0, 2**24)) if rng.random() < 0.5 \
+                else base & np.uint64(0xFFFFFF)
+            qs.append((base & ~np.uint64(0xFFFFFF)) | dna)
+        else:
+            qs.append(np.uint64(rng.integers(0, 2**64, dtype=np.uint64)))
+    q = jnp.asarray(np.array(qs, dtype=np.uint64))
+    frames = jnp.asarray(rng.integers(0, 6, size=300).astype(np.int32))
+    valid = np.ones(300, dtype=bool)
+    valid[::9] = False
+    valid = jnp.asarray(valid)
+
+    kw = dict(cap=16, kmer_format=2, hash_table=ht,
+              hash_log2_rows=log2_rows, hash_chain=chain,
+              db_m=len(v_pad), aligned=True)
+    ref = match_jax.match_kmers_quad(q, frames, valid, blk,
+                                     two_tier=False, **kw)
+    got = match_jax.match_kmers_quad(q, frames, valid, blk,
+                                     two_tier=True, **kw)
+    for k in ("sel", "hamming", "rh", "taxid", "species"):
+        a, b = np.asarray(ref[k]), np.asarray(got[k])
+        sel = np.asarray(ref["sel"])
+        # compare where selected (unselected slots may differ freely)
+        assert (a[sel] == b[sel]).all(), k
+    assert (np.asarray(ref["sel"]) == np.asarray(got["sel"])).all()
+    assert int(np.asarray(ref["overflow"])) == 0
+    assert int(np.asarray(got["overflow"])) == 0
+
+
+def test_two_tier_k_overflow_reported():
+    """More long-run queries than side slots must raise the retry
+    counter (the caller then re-runs single-tier)."""
+    import jax.numpy as jnp
+
+    from metabuli_work_tpu.ops import match_jax
+
+    rng = np.random.default_rng(29)
+    # one long run (8 entries)
+    aa = np.uint64(998877)
+    values = np.array([(aa << np.uint64(24)) | np.uint64(d)
+                       for d in range(8)], dtype=np.uint64)
+    ef = np.zeros(8, np.uint32)
+    sp = np.ones(8, np.uint32)
+    v_pad, ef_pad, sp_pad, starts_pad = match_jax.align_runs4(values, ef, sp)
+    blk = jnp.asarray(match_jax.pack_db_blocks(
+        match_jax.pack_db_quad(v_pad, ef_pad, sp_pad)))
+    ht, log2_rows, chain = match_jax.build_aa_hash(
+        values, starts_override=starts_pad)
+    # 300 queries ALL hitting the long run: K = max(256, ceil(300/8)) =
+    # 256 < 300 flagged -> overflow = 44
+    q = jnp.asarray(np.full(300, (aa << np.uint64(24)) | np.uint64(3),
+                            dtype=np.uint64))
+    out = match_jax.match_kmers_quad(
+        q, jnp.zeros(300, jnp.int32), jnp.ones(300, bool), blk,
+        cap=8, kmer_format=2, hash_table=jnp.asarray(ht),
+        hash_log2_rows=log2_rows, hash_chain=chain,
+        db_m=len(v_pad), aligned=True, two_tier=True)
+    assert int(np.asarray(out["overflow"])) == 300 - 256
