@@ -337,6 +337,7 @@ class Classifier:
             self.ef_node = jnp.asarray(ef.astype(np.int32))
             self._device_assign = False   # host-scoring flow when streaming
             self._combine_k = 8
+            self._warn_two_tier("DB-range streaming")
             return
         if self.mesh is not None:
             # metamer-range index shards (AA-boundary cuts) + per-shard
@@ -388,6 +389,7 @@ class Classifier:
             self._combine_k = 8
             self._sharded_cache: dict = {}
             self._sharded_red_cache: dict = {}
+            self._warn_two_tier("mesh-sharded")
             return
         # resident single-chip index: 64-byte block rows (4 entries per
         # row) — wider gather rows run ~2x the bytes/s of entry rows on
@@ -470,10 +472,27 @@ class Classifier:
         self._combine_k = 8
         # two-tier candidate window (docs/PERF_NOTES.md lever 1):
         # 1-block window for all queries + compacted side gather for the
-        # rare long-run queries.  Experimental, env-gated; requires the
-        # aligned block layout.  Overflow retries fall back single-tier.
-        self._two_tier = (os.environ.get("METABULI_TWO_TIER") == "1"
+        # rare long-run queries.  DEFAULT ON (requires the aligned block
+        # layout): nearly all AA runs are <= 4 entries long, so the
+        # common case gathers 1 block instead of cap/4 — measured ~1.5x
+        # step-time win at the 105M-kmer bench DB.  Overflow retries
+        # fall back single-tier.  METABULI_TWO_TIER=0 disables.
+        self._two_tier = (os.environ.get("METABULI_TWO_TIER", "1") == "1"
                           and getattr(self, "_aligned", False))
+
+    def _warn_two_tier(self, flow: str):
+        """The two-tier candidate window only exists in the single-chip
+        resident flows; tell the user when they explicitly asked for it
+        in a flow that cannot honor it (results stay correct either
+        way — single-tier is the exact semantics)."""
+        import os
+        import warnings
+
+        if os.environ.get("METABULI_TWO_TIER") == "1":
+            warnings.warn(
+                f"METABULI_TWO_TIER=1 has no effect in the {flow} flow; "
+                "the two-tier window applies only to single-chip "
+                "resident classify", stacklevel=3)
 
     # ------------------------------------------------------------------ #
     def _read_batches(self, path1, path2=None) -> Iterator[tuple]:
@@ -799,50 +818,47 @@ class Classifier:
         with self.timer.stage("hdr_sync"):
             hdr = np.asarray(ctx["prefix"])      # ONE blocking fetch
             st = hdr[:4, 0]
-        # window-compaction overflow (a row had more syncmer anchors than
-        # the compacted width): widen permanently, re-run uncompacted
-        if int(st[2]) > 0:
-            self._win_frac = min(self._win_frac + 24, 256)
-            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
-                                          ctx["a2"], ctx["l2"], cap=ctx["cap"],
-                                          win_frac=256,
-                                          two_tier=ctx.get("two_tier", False))
-            hdr = np.asarray(ctx["prefix"])
-            st = hdr[:4, 0]
-        # two-tier overflow (more long-run queries than side slots, or a
-        # run beyond cap): K is not an escalating knob — re-run this
-        # batch single-tier, then the cap loop below applies as usual
-        if ctx.get("two_tier") and int(st[0]) > 0:
-            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
-                                          ctx["a2"], ctx["l2"], cap=ctx["cap"],
-                                          two_tier=False)
-            hdr = np.asarray(ctx["prefix"])
-            st = hdr[:4, 0]
-        while int(st[0]) > 0 and ctx["cap"] < self._cap_ceiling:
-            cap = min(ctx["cap"] * 2, self._cap_ceiling)
-            self.cap = max(self.cap, cap)
-            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
-                                          ctx["a2"], ctx["l2"], cap=cap,
-                                          two_tier=False)
-            hdr = np.asarray(ctx["prefix"])
-            st = hdr[:4, 0]
-        # blocked-packer lane overflow: a (read*frame, cap) lane emitted
-        # more than path_block paths — re-run with a doubled sticky block
-        while int(st[3]) > 0:
-            self._path_block *= 2
-            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
-                                          ctx["a2"], ctx["l2"], cap=ctx["cap"],
-                                          path_block=self._path_block,
-                                          two_tier=ctx.get("two_tier", False))
-            hdr = np.asarray(ctx["prefix"])
-            st = hdr[:4, 0]
-        # path-compaction width overflow: re-run with a doubled static width
-        while int(st[1]) > ctx["paths"].shape[1] - 1:
-            self._path_width = max(self._path_width, ctx["paths"].shape[1] - 1) * 2
-            ctx = self._dispatch_batch_dp(ctx["names"], ctx["a1"], ctx["l1"],
-                                          ctx["a2"], ctx["l2"], cap=ctx["cap"],
-                                          path_width=self._path_width,
-                                          two_tier=ctx.get("two_tier", False))
+        # Overflow retry ladder: every re-dispatch carries the EFFECTIVE
+        # knob values of retries already taken this batch (a cap retry
+        # after a win_frac=256 retry must keep win_frac=256), and every
+        # condition is rechecked after each retry — a later retry can in
+        # principle re-trigger an earlier overflow class.
+        eff_wf = None                            # None -> self._win_frac
+        eff_tt = ctx.get("two_tier", False)
+        eff_cap = ctx["cap"]
+        while True:
+            def redisp():
+                return self._dispatch_batch_dp(
+                    ctx["names"], ctx["a1"], ctx["l1"], ctx["a2"],
+                    ctx["l2"], cap=eff_cap, win_frac=eff_wf,
+                    two_tier=eff_tt)
+
+            # window-compaction overflow (a row had more syncmer anchors
+            # than the compacted width): widen permanently, re-run
+            # uncompacted for this batch
+            if int(st[2]) > 0:
+                self._win_frac = min(self._win_frac + 24, 256)
+                eff_wf = 256
+            # two-tier overflow (more long-run queries than side slots,
+            # or a run beyond cap): K is not an escalating knob — re-run
+            # this batch single-tier (the cap check below then applies)
+            elif eff_tt and int(st[0]) > 0:
+                eff_tt = False
+            # candidate-cap overflow: doubled sticky cap
+            elif int(st[0]) > 0 and eff_cap < self._cap_ceiling:
+                eff_cap = min(eff_cap * 2, self._cap_ceiling)
+                self.cap = max(self.cap, eff_cap)
+            # blocked-packer lane overflow: a (read*frame, cap) lane
+            # emitted more than path_block paths — doubled sticky block
+            elif int(st[3]) > 0:
+                self._path_block *= 2
+            # path-compaction width overflow: doubled static width
+            elif int(st[1]) > ctx["paths"].shape[1] - 1:
+                self._path_width = max(self._path_width,
+                                       ctx["paths"].shape[1] - 1) * 2
+            else:
+                break
+            ctx = redisp()
             hdr = np.asarray(ctx["prefix"])
             st = hdr[:4, 0]
 
@@ -1330,10 +1346,12 @@ class Classifier:
     # device program; host only decodes per-read records)
     def _dispatch_batch_full(self, names, a1, l1, a2=None, l2=None, cap=None,
                              path_width=None, win_frac=None, path_block=None,
-                             combine_k=None):
+                             combine_k=None, two_tier=None):
         from ..models.flagship import fused_step_full, part_widths
 
         B = len(names)
+        if two_tier is None:
+            two_tier = getattr(self, "_two_tier", False)
         cap = cap or self.cap
         path_width = path_width or self._path_width
         win_frac = win_frac or self._win_frac
@@ -1368,7 +1386,8 @@ class Classifier:
                 hash_table=self.hash_table,
                 hash_log2_rows=self.hash_log2_rows,
                 hash_chain=self.hash_chain, db_m=self.db_m,
-                aligned=getattr(self, "_aligned", False))
+                aligned=getattr(self, "_aligned", False),
+                two_tier=two_tier)
             for arr in (records, packed2):
                 try:
                     arr.copy_to_host_async()
@@ -1377,7 +1396,7 @@ class Classifier:
         return {
             "full": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
             "a1": a1, "a2": a2, "path_width": path_width,
-            "records": records, "pairs": packed2,
+            "records": records, "pairs": packed2, "two_tier": two_tier,
         }
 
     def _finish_full_phase1(self, ctx):
@@ -1388,43 +1407,32 @@ class Classifier:
         with self.timer.stage("hdr_sync"):
             rec = np.asarray(ctx["records"])     # ONE blocking fetch
             st = rec[:5, 0]
-        if int(st[2]) > 0:                       # window compaction
-            self._win_frac = min(self._win_frac + 24, 256)
-            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
-                                            ctx["l1"], ctx["a2"], ctx["l2"],
-                                            cap=ctx["cap"], win_frac=256)
-            rec = np.asarray(ctx["records"])
-            st = rec[:5, 0]
-        while int(st[0]) > 0 and ctx["cap"] < self._cap_ceiling:
-            cap = min(ctx["cap"] * 2, self._cap_ceiling)
-            self.cap = max(self.cap, cap)
-            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
-                                            ctx["l1"], ctx["a2"], ctx["l2"],
-                                            cap=cap)
-            rec = np.asarray(ctx["records"])
-            st = rec[:5, 0]
-        while int(st[3]) > 0:                    # blocked-packer lanes
-            self._path_block *= 2
-            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
-                                            ctx["l1"], ctx["a2"], ctx["l2"],
-                                            cap=ctx["cap"],
-                                            path_block=self._path_block)
-            rec = np.asarray(ctx["records"])
-            st = rec[:5, 0]
-        while int(st[1]) > ctx["path_width"]:    # path compaction width
-            self._path_width = max(self._path_width, ctx["path_width"]) * 2
-            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
-                                            ctx["l1"], ctx["a2"], ctx["l2"],
-                                            cap=ctx["cap"],
-                                            path_width=self._path_width)
-            rec = np.asarray(ctx["records"])
-            st = rec[:5, 0]
-        while int(st[4]) > 0:                    # combine_k run overflow
-            self._combine_k *= 2
-            ctx = self._dispatch_batch_full(ctx["names"], ctx["a1"],
-                                            ctx["l1"], ctx["a2"], ctx["l2"],
-                                            cap=ctx["cap"],
-                                            combine_k=self._combine_k)
+        # recheck-all retry ladder carrying effective knobs (see
+        # _finish_dp_phase1 for the rationale)
+        eff_wf = None
+        eff_tt = ctx.get("two_tier", False)
+        eff_cap = ctx["cap"]
+        while True:
+            if int(st[2]) > 0:                   # window compaction
+                self._win_frac = min(self._win_frac + 24, 256)
+                eff_wf = 256
+            elif eff_tt and int(st[0]) > 0:      # two-tier -> single-tier
+                eff_tt = False
+            elif int(st[0]) > 0 and eff_cap < self._cap_ceiling:
+                eff_cap = min(eff_cap * 2, self._cap_ceiling)
+                self.cap = max(self.cap, eff_cap)
+            elif int(st[3]) > 0:                 # blocked-packer lanes
+                self._path_block *= 2
+            elif int(st[1]) > ctx["path_width"]:  # path compaction width
+                self._path_width = max(self._path_width,
+                                       ctx["path_width"]) * 2
+            elif int(st[4]) > 0:                 # combine_k run overflow
+                self._combine_k *= 2
+            else:
+                break
+            ctx = self._dispatch_batch_full(
+                ctx["names"], ctx["a1"], ctx["l1"], ctx["a2"], ctx["l2"],
+                cap=eff_cap, win_frac=eff_wf, two_tier=eff_tt)
             rec = np.asarray(ctx["records"])
             st = rec[:5, 0]
 

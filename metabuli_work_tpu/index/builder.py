@@ -6,13 +6,17 @@ mapping -> per-sequence 6-frame metamer extraction -> parallel sort ->
 per-(value, species) dedup with LCA taxid assignment
 (IndexCreator.h:475-629) -> sorted-array index.
 
-Differences from the reference, by design:
-* extraction indexes all six frames of every sequence instead of
-  Prodigal-predicted extended ORFs (see ops/encode_np.extract_target_kmers
-  docstring) — a superset that removes the gene-prediction dependency;
-* the index is a plain sorted uint64 array + int32 side arrays (HBM-ready)
-  instead of a 15-bit delta stream; the delta stream remains available as
-  an export for interop (index/format.py).
+Like the reference, extraction runs over Prodigal-predicted extended
+ORFs by default (``gene_predictor='auto'|'prodigal'`` — vendored
+Prodigal 2.6.3 via native/prodigal_api.cpp, k-mer-for-k-mer parity
+proven by tests/test_prodigal_parity.py); with ``orf_prediction=False``
+it indexes all six frames instead (a superset that removes the
+gene-prediction dependency, see ops/encode_np.extract_target_kmers).
+
+Differences from the reference, by design: the index is a plain sorted
+uint64 array + int32 side arrays (HBM-ready) instead of a 15-bit delta
+stream; the delta stream remains available as an export for interop
+(index/format.py).
 
 Out-of-core: sequences are processed in flush rounds bounded by
 ``max_ram_gb`` and spilled to temporary .npy runs that are k-way merged,

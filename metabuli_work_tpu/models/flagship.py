@@ -383,7 +383,7 @@ def finish_stream_step(acc_sel, acc_ham, acc_rh, acc_tax, acc_sp, acc_dna,
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
     "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
     "path_block", "dp_pallas", "pallas_interpret", "hash_log2_rows",
-    "hash_chain", "db_m", "aligned", "two_tier", "two_tier"))
+    "hash_chain", "db_m", "aligned", "two_tier"))
 def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   min_cons_euk: int = 9,
                   cap: int = 16, kmer_format: int = 2,

@@ -415,7 +415,6 @@ def match_kmers_quad(
         K = max(256, -(-n // 8))
         t1 = _gather_blocks(db_quad, lo, 4, aligned=True)   # [4, N, 4]
         flagged = q_valid & (rlen > 4) & (lo < M)
-        n_over = jnp.sum(flagged).astype(jnp.int32)
         idx = jnp.nonzero(flagged, size=K, fill_value=n)[0]
         idxc = jnp.minimum(idx, n - 1).astype(jnp.int32)
         lo2 = lo[idxc]
@@ -453,8 +452,12 @@ def match_kmers_quad(
         # elsewhere they are zeros that could alias tiny AA parts
         cmask = cmask & ((offs < 4) | flag_col[None, :])
         cmask = cmask & (offs < rlen[None, :])
-        overflow = (jnp.sum(q_valid & (rlen > cap)).astype(jnp.int32)
-                    + jnp.maximum(n_over - K, 0).astype(jnp.int32))
+        # each overflowing query counts ONCE: run beyond cap, or flagged
+        # but landing past the K side slots (cumsum rank > K) — keeps the
+        # count comparable with the single-tier semantics
+        beyond_k = flagged & (jnp.cumsum(flagged.astype(jnp.int32)) > K)
+        overflow = jnp.sum((q_valid & (rlen > cap)) | beyond_k) \
+            .astype(jnp.int32)
     elif rlen is not None:
         cmask = cmask & (offs < rlen[None, :])
         overflow = jnp.sum(q_valid & (rlen > cap)).astype(jnp.int32)
