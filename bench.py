@@ -249,8 +249,137 @@ def measure_reference(genomes, reads) -> float:
     return rate
 
 
+def tpu_golden_check():
+    """Per-read parity of THIS process's production backend (compiled
+    Pallas DP on TPU) against the reference binary — BASELINE.md:21-22
+    demands the bar on the backend users actually run, not the CPU test
+    backend (VERDICT r3 item 2).
+
+    Cells: plain single-end, syncmer single-end, paired-end — each a
+    binary-built DB + binary classifications, diffed per read
+    (classified flag, taxid, covered length, score to 5e-6, rank,
+    taxid:count sets) via the same checker as tests/test_golden_matrix.
+    The env + binary outputs are disk-cached; our classify always runs
+    fresh on the live backend.
+
+    Returns True (all cells equal), False (any diff), None (skipped).
+    """
+    import pathlib
+    import shutil
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    try:
+        import test_golden_matrix as G
+    except Exception as e:
+        print(f"# golden: helpers unavailable ({e})", file=sys.stderr)
+        return None
+    if not os.path.exists(REF_BINARY):
+        if not (shutil.which("g++") and os.path.isdir("/root/reference")):
+            return None
+        r = subprocess.run(["make", "-j8"],
+                           cwd=os.path.join(REPO, "reference_build"),
+                           capture_output=True, timeout=1800)
+        if r.returncode != 0:
+            print("# golden: reference binary build failed", file=sys.stderr)
+            return None
+
+    cache = pathlib.Path(os.path.expanduser("~/.cache/mwt_golden_env"))
+    if not (cache / "DONE").exists():
+        t0 = time.time()
+        shutil.rmtree(cache, ignore_errors=True)
+        cache.mkdir(parents=True)
+        rng = np.random.default_rng(20260821)
+        G._write_taxdump(cache / "taxdump")
+        ga = G.orf_rich_genome(rng, 150_000)
+        genomes = {"GA": (ga, 101), "GB": (G._mutate(ga, 0.02, rng), 102),
+                   "GC": (G.orf_rich_genome(rng, 130_000), 201),
+                   "GD": (G.orf_rich_genome(rng, 120_000), 301)}
+        for acc, (seq, _) in genomes.items():
+            (cache / f"{acc}.fna").write_text(f">{acc}\n{seq}\n")
+        (cache / "fastas.txt").write_text(
+            "".join(f"{cache}/{a}.fna\n" for a in genomes))
+        with open(cache / "acc2taxid.map", "w") as f:
+            f.write("accession\taccession.version\ttaxid\tgi\n")
+            for acc, (_, tid) in genomes.items():
+                f.write(f"{acc}\t{acc}.1\t{tid}\t0\n")
+        src = [(a, s) for a, (s, _) in genomes.items()]
+        r = np.random.default_rng(11)
+        with open(cache / "reads.fq", "w") as f:
+            for i in range(240):
+                acc, g = src[i % len(src)]
+                ln = int(r.integers(149, 152))
+                s = int(r.integers(0, len(g) - ln))
+                seq = G._mutate(g[s:s + ln], 0.01, r)
+                if r.random() < 0.5:
+                    seq = G._rc(seq)
+                f.write(f"@{acc.lower()}_{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+        rr = np.random.default_rng(13)
+        with open(cache / "reads_1.fq", "w") as f1, \
+                open(cache / "reads_2.fq", "w") as f2:
+            for i in range(200):
+                acc, g = src[i % len(src)]
+                ins = int(rr.integers(280, 420))
+                s = int(rr.integers(0, len(g) - ins))
+                frag = G._mutate(g[s:s + ins], 0.01, rr)
+                f1.write(f"@p{i}\n{frag[:150]}\n+\n{'I' * 150}\n")
+                f2.write(f"@p{i}\n{G._rc(frag[-150:])}\n+\n{'I' * 150}\n")
+        G._ref_build(REF_BINARY, cache, cache / "DB_plain", "--mask", "0")
+        G._ref_build(REF_BINARY, cache, cache / "DB_sync", "--mask", "0",
+                     "--syncmer", "1")
+        G._ref_classify(REF_BINARY, cache / "DB_plain", cache / "OUT_plain",
+                        "mx", [cache / "reads.fq"], "--seq-mode", "1",
+                        "--min-score", "0.15", "--min-sp-score", "0.5")
+        G._ref_classify(REF_BINARY, cache / "DB_sync", cache / "OUT_sync",
+                        "mx", [cache / "reads.fq"], "--seq-mode", "1",
+                        "--min-score", "0.15", "--min-sp-score", "0.5")
+        G._ref_classify(REF_BINARY, cache / "DB_plain", cache / "OUT_pair",
+                        "mx", [cache / "reads_1.fq", cache / "reads_2.fq"],
+                        "--seq-mode", "2", "--min-score", "0.15",
+                        "--min-sp-score", "0.5")
+        (cache / "DONE").write_text("ok\n")
+        print(f"# golden env built ({time.time()-t0:.0f}s)", file=sys.stderr)
+
+    import jax
+
+    backend = jax.default_backend()
+    cells = [
+        ("plain", cache / "DB_plain", cache / "OUT_plain",
+         dict(seq_mode=1), [cache / "reads.fq"]),
+        ("syncmer", cache / "DB_sync", cache / "OUT_sync",
+         dict(seq_mode=1), [cache / "reads.fq"]),
+        ("paired", cache / "DB_plain", cache / "OUT_pair",
+         dict(seq_mode=2),
+         [cache / "reads_1.fq", cache / "reads_2.fq"]),
+    ]
+    all_ok = True
+    for name, db, out, over, reads in cells:
+        t0 = time.time()
+        ref = G._parse_ref_tsv(out / "mx_classifications.tsv")
+        res, clf = G._my_classify(db, reads[0],
+                                  reads[1] if len(reads) > 1 else None,
+                                  **over)
+        try:
+            G._diff_results(res, clf.taxonomy, ref)
+            ok = True
+        except AssertionError as e:
+            ok = False
+            all_ok = False
+            print(f"# golden[{name}] MISMATCH: {str(e)[:400]}",
+                  file=sys.stderr)
+        print(f"# golden[{name}] on {backend}: "
+              f"{'EQUAL' if ok else 'DIFF'} ({len(ref)} reads, "
+              f"{time.time()-t0:.0f}s)", file=sys.stderr)
+    return all_ok
+
+
 def main():
     _enable_compile_cache()
+    golden = None
+    if os.environ.get("METABULI_BENCH_NO_GOLDEN") != "1":
+        try:
+            golden = tpu_golden_check()
+        except Exception as e:
+            print(f"# golden check errored: {e!r}", file=sys.stderr)
     rng = np.random.default_rng(0)
     t0 = time.time()
     index, tax, genomes = build_synthetic(rng)
@@ -346,12 +475,14 @@ def main():
     sdt = time.time() - t0
     srate = N_STREAM_READS / sdt
     up_mb = index.values.nbytes * 2 / 1e6
-    print(f"# streaming ({sclf._n_ranges} range passes/batch): "
-          f"{N_STREAM_READS} reads in {sdt:.2f}s = {srate:.0f} reads/s "
-          f"({srate / rate:.2f}x resident); re-uploads ~{up_mb:.0f} MB "
-          f"of index per batch — through the axon tunnel (~43 MB/s H2D) "
-          f"this is upload-bound; on directly-attached HBM (>=16 GB/s "
-          f"H2D) the same passes cost <{up_mb / 16000:.2f}s/batch",
+    Gs = sclf._stream_group_size()
+    print(f"# streaming ({sclf._n_ranges} range passes per {Gs}-batch "
+          f"sweep): {N_STREAM_READS} reads in {sdt:.2f}s = {srate:.0f} "
+          f"reads/s ({srate / rate:.2f}x resident); re-uploads "
+          f"~{up_mb:.0f} MB of index per sweep, amortized over {Gs} "
+          f"batches — through the axon tunnel (~43 MB/s H2D) this is "
+          f"upload-bound; on directly-attached HBM (>=16 GB/s H2D) the "
+          f"same sweep costs <{up_mb / 16000:.2f}s",
           file=sys.stderr)
 
     print(json.dumps({
@@ -361,6 +492,7 @@ def main():
         "vs_baseline": round(rate / ref_rate, 3),
         "streaming_reads_per_sec": round(srate, 1),
         "db_kmers": int(index.size),
+        "golden_equal": golden,
     }))
 
 

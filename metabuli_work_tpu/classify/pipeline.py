@@ -398,7 +398,11 @@ class Classifier:
         # starts are padded to block boundaries (align_runs4) so the
         # hash-probe path fetches exactly ceil(cap/4) blocks with no
         # shuffle; ~15-37% more HBM for one fewer 12 MB gather/batch.
-        from ..ops.match_jax import align_runs4, pack_db_blocks
+        from ..ops.match_jax import (
+            align_runs4,
+            pack_db_blocks,
+            pack_db_rows32,
+        )
 
         use_hash = os.environ.get("METABULI_HASH_PROBE", "1") == "1"
         if use_hash:
@@ -410,11 +414,20 @@ class Classifier:
             align_cap = float(os.environ.get("METABULI_QUAD_ALIGN_GB",
                                              "6")) * (1 << 30)
             self._aligned = n_pad * 16 <= align_cap
+        # 512-byte-row layout (32 entries/row): XLA's row-gather cost is
+        # per-INDEX, not per-byte, and drops ~6x at the full 128-lane
+        # row width (profiling/prof_gather_width.py) — the candidate
+        # window becomes ~2 gather ops at any cap and the hash probe 1.
+        # Requires the hash (run lengths) + 4-aligned run starts.
+        self._wide = (use_hash and self._aligned
+                      and os.environ.get("METABULI_WIDE_PROBE", "1")
+                      == "1")
         if use_hash and self._aligned:
             v_pad, ef_pad, sp_pad, starts_pad = align_runs4(
                 self.index.values, db_ef, sp_euk)
             self.db_m = len(v_pad)
-            self.db_quad = jnp.asarray(pack_db_blocks(
+            pack = pack_db_rows32 if self._wide else pack_db_blocks
+            self.db_quad = jnp.asarray(pack(
                 pack_db_quad(v_pad, ef_pad, sp_pad)))
         elif use_hash:
             starts_pad = None
@@ -445,10 +458,14 @@ class Classifier:
             mc = int(mc_env) if mc_env is not None else 1
             cap_b = int(float(os.environ.get("METABULI_HASH_GB", "3"))
                         * (1 << 30))
+            # wide mode: 512-byte hash rows (42 slots) — same fill
+            # fraction needs ~the same bytes, the probe is ONE wide
+            # gather, and 42-slot rows essentially never chain
+            geom = dict(slots=42, row_u32=128) if self._wide else {}
             ht, self.hash_log2_rows, self.hash_chain = \
                 build_aa_hash(self.index.values, max_chain=mc,
                               max_bytes=0 if mc_env else cap_b,
-                              starts_override=starts_pad)
+                              starts_override=starts_pad, **geom)
             self.hash_table = jnp.asarray(ht)
         else:
             self.hash_table = None
@@ -472,13 +489,14 @@ class Classifier:
         self._combine_k = 8
         # two-tier candidate window (docs/PERF_NOTES.md lever 1):
         # 1-block window for all queries + compacted side gather for the
-        # rare long-run queries.  DEFAULT ON (requires the aligned block
-        # layout): nearly all AA runs are <= 4 entries long, so the
-        # common case gathers 1 block instead of cap/4 — measured ~1.5x
-        # step-time win at the 105M-kmer bench DB.  Overflow retries
-        # fall back single-tier.  METABULI_TWO_TIER=0 disables.
-        self._two_tier = (os.environ.get("METABULI_TWO_TIER", "1") == "1"
-                          and getattr(self, "_aligned", False))
+        # rare long-run queries.  SUPERSEDED by the 512-byte-row wide
+        # probe (the window is ~2 gather ops at any cap there, and
+        # gather cost is per-op, not per-byte — prof_fused_bisect.py
+        # measured two-tier a wash on v5e); kept for the narrow block
+        # layout, opt-in via METABULI_TWO_TIER=1.
+        self._two_tier = (os.environ.get("METABULI_TWO_TIER") == "1"
+                          and getattr(self, "_aligned", False)
+                          and not self._wide)
 
     def _warn_two_tier(self, flow: str):
         """The two-tier candidate window only exists in the single-chip
@@ -722,16 +740,32 @@ class Classifier:
     def _dispatch_batch_dp_stream(self, names, a1, l1, a2=None, l2=None,
                                   cap=None, path_width=None, win_frac=None,
                                   path_block=None):
-        """DB-range streaming dispatch: extract once, loop probe passes
-        over host-resident index ranges (each device_put'd for the pass
-        and freed after — HBM holds ONE range + the accumulators), then
-        run the DP/compaction finish.  Same ctx contract as
-        _dispatch_batch_dp, so the two-phase finish and all five
-        overflow-retry protocols apply unchanged.
+        """Single-batch DB-range streaming dispatch (one full range sweep
+        for this batch alone) — the overflow-retry path.  The steady
+        state uses _dispatch_group_stream, which amortizes each range
+        upload over a whole GROUP of batches."""
+        return self._dispatch_group_stream(
+            [(names, a1, l1, a2, l2)], cap=cap, path_width=path_width,
+            win_frac=win_frac, path_block=path_block)[0]
+
+    def _dispatch_group_stream(self, group, cap=None, path_width=None,
+                               win_frac=None, path_block=None):
+        """DB-range streaming dispatch over a GROUP of read batches.
+
+        Extract every batch once, then loop range passes: each
+        host-resident index range is device_put ONCE per sweep and
+        probed against ALL batches before being freed — the dominant
+        cost (re-uploading the index) is divided by len(group).  HBM
+        holds one range + len(group) accumulator sets.  Returns one ctx
+        per batch with the same contract as _dispatch_batch_dp, so the
+        two-phase finish and all overflow-retry protocols apply
+        unchanged (retries re-run single-batch).
 
         Reference analog: the --max-ram query-split x DB-stream loop
-        (QueryIndexer.cpp:30-147, DeltaIdxReader.h:214-229) with the
-        roles flipped — queries stay resident, the index streams."""
+        (QueryIndexer.cpp:24-147, DeltaIdxReader.h:214-229) with the
+        roles flipped — queries stay resident, the index streams; the
+        reference likewise sizes reads-per-split so each DB pass serves
+        as many queries as RAM allows."""
         import jax.numpy as jnp
 
         from ..models.flagship import (
@@ -741,64 +775,102 @@ class Classifier:
             probe_range_step,
         )
 
-        B = len(names)
         cap = cap or self.cap
         path_width = path_width or self._path_width
         win_frac = win_frac or self._win_frac
         path_block = path_block or self._path_block
         with self.timer.stage("dispatch"):
-            r1, j1, r2, j2, l1, l2, paired, ra1, ra2 = \
-                self._prep_arrays(a1, l1, a2, l2, B)
-            qk, qp, qf, qs, qv, win_over = extract_queries_step(
-                r1, j1, r2, j2, ra1, ra2, syncmer=self.syncmer,
-                smer_len=self.smer_len, kmer_format=self.kmer_format,
-                win_frac=win_frac, paired=paired)
-            N = qk.shape[0]
-            acc = (jnp.zeros((cap, N), bool),
-                   jnp.zeros((cap, N), jnp.int32),
-                   jnp.zeros((cap, N), jnp.int32),
-                   jnp.zeros((cap, N), jnp.int32),
-                   jnp.zeros((cap, N), jnp.int32),
-                   jnp.zeros((cap, N), jnp.int32),
-                   jnp.zeros((), jnp.int32))
+            per = []
+            for names, a1, l1, a2, l2 in group:
+                B = len(names)
+                r1, j1, r2, j2, l1, l2, paired, ra1, ra2 = \
+                    self._prep_arrays(a1, l1, a2, l2, B)
+                qk, qp, qf, qs, qv, win_over = extract_queries_step(
+                    r1, j1, r2, j2, ra1, ra2, syncmer=self.syncmer,
+                    smer_len=self.smer_len, kmer_format=self.kmer_format,
+                    win_frac=win_frac, paired=paired)
+                N = qk.shape[0]
+                acc = (jnp.zeros((cap, N), bool),
+                       jnp.zeros((cap, N), jnp.int32),
+                       jnp.zeros((cap, N), jnp.int32),
+                       jnp.zeros((cap, N), jnp.int32),
+                       jnp.zeros((cap, N), jnp.int32),
+                       jnp.zeros((cap, N), jnp.int32),
+                       jnp.zeros((), jnp.int32))
+                per.append(dict(names=names, a1=a1, a2=a2, l1=l1, l2=l2,
+                                paired=paired, lm1=r1.shape[1],
+                                lm2=r2.shape[1], B=B, qk=qk, qp=qp, qf=qf,
+                                qs=qs, qv=qv, win_over=win_over, acc=acc))
             for r in range(self._n_ranges):
                 quad_r = jnp.asarray(self._stream_quads[r])
                 hash_r = jnp.asarray(self._stream_hts[r])
-                acc = probe_range_step(
-                    qk, qf, qv, quad_r, hash_r, *acc, cap=cap,
-                    kmer_format=self.kmer_format,
-                    hash_log2_rows=self.hash_log2_rows,
-                    hash_chain=self.hash_chain)
-                del quad_r, hash_r   # freed once the pass retires
-            part_w = part_widths(r1.shape[1], r2.shape[1], paired,
-                                 self.syncmer, self.kmer_format,
-                                 self.smer_len, win_frac)
-            shapes = tuple((B, 6, w // 6) for w in part_w)
-            lmax = r1.shape[1] + (r2.shape[1] + 3 if paired else 0)
-            compact5 = (B * 6 < (1 << 16)) and (lmax < (1 << 14))
-            packed_hdr, resident = finish_stream_step(
-                *acc, qp, qs, win_over,
-                min_cons=int(self.params.min_cons_cnt),
-                min_cons_euk=int(self.params.min_cons_cnt_euk),
-                cap=cap, kmer_format=self.kmer_format,
-                syncmer=self.syncmer, smer_len=self.smer_len,
-                path_width=path_width, win_frac=win_frac,
-                path_block=path_block, compact5=compact5, shapes=shapes,
-                dp_pallas=getattr(self, "_dp_pallas", False),
-                pallas_interpret=getattr(self, "_pallas_interpret", False))
-            est = min(self._path_estimate, packed_hdr.shape[1] - 1)
-            prefix = packed_hdr[:, :est + 1]
-            try:
-                prefix.copy_to_host_async()
-            except AttributeError:
-                pass
-            n_quot = lmax // int(self.taxonomer.dna_shift) + 2
-        return {
-            "dp": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
-            "a1": a1, "a2": a2,
-            "paths": packed_hdr, "prefix": prefix, "est": est,
-            "resident": resident, "n_quot": n_quot, "part_w": part_w,
-        }
+                for p in per:
+                    p["acc"] = probe_range_step(
+                        p["qk"], p["qf"], p["qv"], quad_r, hash_r,
+                        *p["acc"], cap=cap, kmer_format=self.kmer_format,
+                        hash_log2_rows=self.hash_log2_rows,
+                        hash_chain=self.hash_chain)
+                del quad_r, hash_r   # freed once the sweep's passes retire
+
+            ctxs = []
+            for p in per:
+                part_w = part_widths(p["lm1"], p["lm2"], p["paired"],
+                                     self.syncmer, self.kmer_format,
+                                     self.smer_len, win_frac)
+                shapes = tuple((p["B"], 6, w // 6) for w in part_w)
+                lmax = p["lm1"] + (p["lm2"] + 3 if p["paired"] else 0)
+                compact5 = (p["B"] * 6 < (1 << 16)) and (lmax < (1 << 14))
+                packed_hdr, resident = finish_stream_step(
+                    *p["acc"], p["qp"], p["qs"], p["win_over"],
+                    min_cons=int(self.params.min_cons_cnt),
+                    min_cons_euk=int(self.params.min_cons_cnt_euk),
+                    cap=cap, kmer_format=self.kmer_format,
+                    syncmer=self.syncmer, smer_len=self.smer_len,
+                    path_width=path_width, win_frac=win_frac,
+                    path_block=path_block, compact5=compact5,
+                    shapes=shapes,
+                    dp_pallas=getattr(self, "_dp_pallas", False),
+                    pallas_interpret=getattr(self, "_pallas_interpret",
+                                             False))
+                est = min(self._path_estimate, packed_hdr.shape[1] - 1)
+                prefix = packed_hdr[:, :est + 1]
+                try:
+                    prefix.copy_to_host_async()
+                except AttributeError:
+                    pass
+                n_quot = lmax // int(self.taxonomer.dna_shift) + 2
+                ctxs.append({
+                    "dp": True, "names": p["names"], "l1": p["l1"],
+                    "l2": p["l2"], "cap": cap, "a1": p["a1"],
+                    "a2": p["a2"], "paths": packed_hdr, "prefix": prefix,
+                    "est": est, "resident": resident, "n_quot": n_quot,
+                    "part_w": part_w,
+                })
+        return ctxs
+
+    def _stream_group_size(self) -> int:
+        """Batches per streaming range sweep: bounded by the HBM left
+        after one resident range (each batch holds ~N*cap*24 B of
+        accumulators + query tensors).  METABULI_STREAM_GROUP overrides."""
+        import os
+
+        env = os.environ.get("METABULI_STREAM_GROUP")
+        if env:
+            return max(1, int(env))
+        budget = self._hbm_budget_gb * (1 << 30)
+        # range occupies <= budget/2; leave a safety margin and size the
+        # accumulators into the remainder (estimate N from batch_size at
+        # 150 bp single-end; long/paired batches are simply a smaller
+        # effective group — the estimate only sets the default)
+        from ..models.flagship import part_widths
+
+        part_w = part_widths(168, 96, False, self.syncmer,
+                             self.kmer_format, self.smer_len,
+                             self._win_frac)
+        n_est = sum(part_w) * self.params.batch_size
+        per_batch = n_est * (self.cap * 24 + 40)
+        spare = max(budget * 0.3, 256 << 20)
+        return int(min(16, max(1, spare // max(per_batch, 1))))
 
     def _finish_batch_dp(self, ctx):
         return self._finish_dp_phase2(self._finish_dp_phase1(ctx))
@@ -1834,9 +1906,15 @@ class Classifier:
         results are collected PIPE_DEPTH iterations after their
         redundancy kernel is enqueued so every async device->host copy
         has several iterations to land before its blocking fetch.
+
+        DB-range streaming mode uses the grouped driver instead: the
+        heavy per-sweep cost there is re-uploading index ranges, so
+        batches are grouped to share each sweep.
         """
         from collections import deque
 
+        if getattr(self, "_streaming", False):
+            return self._drive_batches_stream(batches, progress)
         all_results = []
         done = 0
         depth = self.PIPE_DEPTH
@@ -1857,6 +1935,43 @@ class Classifier:
             pend2.append(self._finish_partial(pend1.popleft()))
         while pend2:
             res = self._finish_complete(pend2.popleft())
+            all_results.extend(res)
+            done += len(res)
+            if progress:
+                progress(done)
+        return all_results
+
+    def _drive_batches_stream(self, batches, progress=None):
+        """Streaming-mode driver: dispatch GROUPS of batches through
+        shared range sweeps (_dispatch_group_stream); the previous
+        group's finishes run while the next group's sweep occupies the
+        device, so the host scoring hides behind the uploads."""
+        all_results = []
+        done = 0
+        G = self._stream_group_size()
+        group: list = []
+        prev_ctxs: list = []
+
+        def flush(group):
+            nonlocal prev_ctxs, done
+            ctxs = self._dispatch_group_stream(group)
+            for c in prev_ctxs:
+                res = self._finish_batch(c)
+                all_results.extend(res)
+                done += len(res)
+                if progress:
+                    progress(done)
+            prev_ctxs = ctxs
+
+        for b in batches:
+            group.append(b)
+            if len(group) >= G:
+                flush(group)
+                group = []
+        if group:
+            flush(group)
+        for c in prev_ctxs:
+            res = self._finish_batch(c)
             all_results.extend(res)
             done += len(res)
             if progress:

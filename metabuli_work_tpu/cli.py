@@ -288,21 +288,100 @@ _PREBUILT_DBS = {
 }
 
 
+# archive file names on the download host differ from the display names
+# (data/metabulidatabases.sh case arms)
+_PREBUILT_ARCHIVES = {
+    "RefSeq_virus": "refseq_virus.tar.gz",
+    "RefSeq_prokaryote_virus": "refseq_prokaryote_virus.tar.gz",
+    "GTDB": "gtdb.tar.gz",
+    "RefSeq_release": "refseq_release.tar.gz",
+}
+
+
+def _download_resumable(url, dest, timeout=30):
+    """Stdlib download with byte-range resume (the reference script's
+    `curl -C -` / `wget --continue` analogue).  Returns True on success;
+    raises URLError/OSError on network failure."""
+    import urllib.request
+
+    part = dest + ".part"
+    start = os.path.getsize(part) if os.path.exists(part) else 0
+    req = urllib.request.Request(url)
+    if start:
+        req.add_header("Range", f"bytes={start}-")
+        print(f"resuming at {start / 1e6:.1f} MB")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        if start and resp.status == 200:
+            start = 0        # server ignored the Range header: restart
+        mode = "ab" if start else "wb"
+        total = resp.headers.get("Content-Length")
+        total = start + int(total) if total else None
+        done = start
+        with open(part, mode) as f:
+            while True:
+                chunk = resp.read(1 << 22)
+                if not chunk:
+                    break
+                f.write(chunk)
+                done += len(chunk)
+                if total:
+                    print(f"\r  {done / 1e9:.2f} / {total / 1e9:.2f} GB",
+                          end="", flush=True)
+        print()
+    if total is not None and done != total:
+        raise OSError(f"short download: {done} of {total} bytes "
+                      f"(re-run to resume)")
+    os.replace(part, dest)
+    return True
+
+
 def cmd_databases(args):
+    """Reference `databases` workflow (data/metabulidatabases.sh):
+    download <archive>.tar.gz with resume, extract into outdir, then
+    point the user at convertDB.  Degrades to printed instructions when
+    the host has no egress."""
     base = "https://metabuli.steineggerlab.workers.dev"
     if not args.name:
         print("Available prebuilt databases (reference-format; convert with")
         print("`metabuli-tpu convertDB` after download):")
         for name, (size, note) in _PREBUILT_DBS.items():
             print(f"  {name:28s} {size:>10s}  {note}")
-        print(f"Download from {base} (network egress required).")
+        print(f"Download from {base}; `databases <name> <outdir>` fetches "
+              f"and extracts (resumable).")
         return 0
     if args.name not in _PREBUILT_DBS:
         print(f"Unknown database {args.name}.")
         return 1
-    print(f"Download: {base}/{args.name}.tar.gz -> {args.outdir}")
-    print("(this environment has no network egress; fetch externally, then")
-    print(f" run: metabuli-tpu convertDB {args.outdir}/{args.name} )")
+    archive = _PREBUILT_ARCHIVES[args.name]
+    url = f"{base}/{archive}"
+    tmp_dir = args.tmp or args.outdir
+    os.makedirs(args.outdir, exist_ok=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    tarball = os.path.join(tmp_dir, archive)
+    if not os.path.exists(tarball):
+        print(f"Downloading {url} -> {tarball} "
+              f"(~{_PREBUILT_DBS[args.name][0]})")
+        try:
+            _download_resumable(url, tarball)
+        except Exception as e:  # no egress / transient failure
+            print(f"Download failed ({e}).")
+            print(f"Fetch {url} externally (resume supported), place it at")
+            print(f"  {tarball}")
+            print(f"then re-run: metabuli-tpu databases {args.name} "
+                  f"{args.outdir}")
+            return 1
+    else:
+        print(f"Archive already present: {tarball}")
+    import tarfile
+
+    print(f"Extracting into {args.outdir} ...")
+    with tarfile.open(tarball) as tf:
+        try:
+            tf.extractall(args.outdir, filter="data")
+        except TypeError:      # python < 3.12 without the filter kwarg
+            tf.extractall(args.outdir)
+    print(f"Done.  Convert to the native layout with:")
+    print(f"  metabuli-tpu convertDB {args.outdir}")
     return 0
 
 
@@ -692,9 +771,12 @@ def main(argv=None):
     p.add_argument("output")
     p.set_defaults(func=cmd_uniref2taxonomy)
 
-    p = sub.add_parser("databases", help="list prebuilt databases")
+    p = sub.add_parser("databases",
+                       help="list / download prebuilt databases")
     p.add_argument("name", nargs="?", default=None)
     p.add_argument("outdir", nargs="?", default=".")
+    p.add_argument("--tmp", default=None,
+                   help="archive download dir (default: outdir)")
     p.set_defaults(func=cmd_databases)
 
     p = sub.add_parser("convertDB", help="reference-format DB -> native layout")

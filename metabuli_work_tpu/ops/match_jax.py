@@ -119,7 +119,8 @@ _HASH_MUL2 = np.uint32(0x85EBCA6B)
 
 def build_aa_hash(values: np.ndarray, load: float = 2.5,
                   max_chain: int = 3, min_log2_rows: int = 0,
-                  max_bytes: int = 0, starts_override=None):
+                  max_bytes: int = 0, starts_override=None,
+                  slots: int = HASH_SLOTS, row_u32: int = HASH_ROW_U32):
     """Host-side bucketized hash of unique AA parts -> run starts.
 
     Returns (table uint32 [R, 16], log2_rows, chain): bucketized open
@@ -148,9 +149,11 @@ def build_aa_hash(values: np.ndarray, load: float = 2.5,
         starts = np.asarray(starts_override)
     lo32 = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi8 = (uniq >> np.uint64(32)).astype(np.uint32)
+    assert 3 * slots <= row_u32
     # min_log2_rows: mesh-sharded probes need one uniform table geometry
     # across all index shards (the row count is a static jit arg)
-    log2_rows = max(8, int(np.ceil(np.log2(max(n / load, 1)))), min_log2_rows)
+    log2_rows = max(8, int(np.ceil(np.log2(
+        max(n / (load * slots / HASH_SLOTS), 1)))), min_log2_rows)
     # termination guard: never grow the table past 4 rows per unique key
     # (~20 slots/key) chasing a shorter chain — return the chain reached
     max_log2_rows = max(log2_rows, int(np.ceil(np.log2(max(n, 2)))) + 2)
@@ -163,24 +166,24 @@ def build_aa_hash(values: np.ndarray, load: float = 2.5,
         # row is full — the landing slot of sorted key k is
         #   q_k = max_{j<=k}(f_j + (k - j)) = k + running_max(f_j - j)
         order = np.argsort(h, kind="stable")
-        f = h[order] * HASH_SLOTS
+        f = h[order] * slots
         k = np.arange(n, dtype=np.int64)
         q = np.maximum.accumulate(f - k) + k
-        row_of = q // HASH_SLOTS
-        slot_of = q % HASH_SLOTS
+        row_of = q // slots
+        slot_of = q % slots
         chain = int((row_of - h[order]).max(initial=0)) + 1
         fits = n == 0 or int(row_of[-1]) < R
         # max_bytes: stop chasing a shorter chain once the NEXT doubling
         # would blow the byte budget (HBM cap for big DBs) — accept the
         # chain reached instead
         over_budget = bool(max_bytes) and \
-            ((R << 1) * HASH_ROW_U32 * 4 > max_bytes)
+            ((R << 1) * row_u32 * 4 > max_bytes)
         if (chain <= max_chain and fits) \
                 or (fits and log2_rows >= max_log2_rows) \
                 or (fits and over_budget):
             break
         log2_rows += 1
-    table = np.zeros((R, HASH_ROW_U32), dtype=np.uint32)
+    table = np.zeros((R, row_u32), dtype=np.uint32)
     cols = 3 * slot_of
     table[row_of, cols] = lo32[order]
     table[row_of, cols + 1] = (hi8[order] | np.uint32(0x100)
@@ -191,19 +194,22 @@ def build_aa_hash(values: np.ndarray, load: float = 2.5,
 
 def _hash_search(q_aa, hash_table, log2_rows: int, chain: int, M):
     """Point lookup of run starts: ``chain`` row gathers + VPU compares.
-    Returns (lo [N] i32 — M when absent, run_len [N] i32 — 0 when
-    absent)."""
+    Slots per row derive from the row width (64-byte rows: 5 slots;
+    512-byte rows: 42 — the wide geometry gathers 6x faster per op on
+    v5e, profiling/prof_gather_width.py).  Returns (lo [N] i32 — M when
+    absent, run_len [N] i32 — 0 when absent)."""
     U32 = jnp.uint32
     q_lo = (q_aa & _U64(0xFFFFFFFF)).astype(U32)
     q_hi = (q_aa >> _U64(32)).astype(U32)
     h = ((q_lo * U32(_HASH_MUL1)) ^ (q_hi * U32(_HASH_MUL2))) \
         >> U32(32 - log2_rows)
     R = hash_table.shape[0]
+    slots = hash_table.shape[1] // 3
     lo = jnp.full(q_aa.shape, M, dtype=jnp.int32)
     rlen = jnp.zeros(q_aa.shape, dtype=jnp.int32)
     for c in range(chain):
-        row = hash_table[jnp.minimum(h.astype(jnp.int32) + c, R - 1)]  # [N, 16]
-        for s in range(HASH_SLOTS):
+        row = hash_table[jnp.minimum(h.astype(jnp.int32) + c, R - 1)]
+        for s in range(slots):
             w1 = row[:, 3 * s + 1]
             hit = (row[:, 3 * s] == q_lo) \
                 & ((w1 & U32(0x1FF)) == (q_hi | U32(0x100)))
@@ -267,6 +273,46 @@ def pack_db_quad(values: np.ndarray, euler_first: np.ndarray,
     quad[:, 2] = ef | ((sp & np.uint32(0x7F)) << np.uint32(EF_BITS))
     quad[:, 3] = sp >> np.uint32(7)
     return quad
+
+
+def pack_db_rows32(quad: np.ndarray, pad_entries: int = 256) -> np.ndarray:
+    """Reshape a [M, 4] u32 quad DB into 512-byte rows [R, 128]
+    (32 entries per row), padded with all-ones sentinel entries.
+
+    512 B = 128 u32 = one full TPU lane width: XLA's gather lowering
+    switches to a vectorized per-index copy at this row size — ~28 GB/s
+    of random rows vs ~2.2 GB/s for 64 B rows on v5e
+    (profiling/prof_gather_width.py, 2026-08-21).  With run starts
+    4-aligned (align_runs4), a candidate window of up to 36 entries
+    spans at most TWO consecutive rows — the whole candidate fetch is
+    2 gather ops instead of ceil(cap/4)."""
+    m = len(quad)
+    total = ((m + pad_entries + 31) // 32) * 32
+    blk = np.full((total, 4), 0xFFFFFFFF, dtype=np.uint32)
+    blk[:m] = quad
+    return blk.reshape(total // 32, 128)
+
+
+def _gather_window_wide(db_w, lo, win):
+    """[win, N, 4] candidate quads from 512-byte rows (32 entries each).
+
+    Requires lo 4-aligned (align_runs4).  Fetches the
+    ceil((28 + win)/32) consecutive rows that cover any aligned offset,
+    then selects the window with an 8-way VPU shift select (offset
+    in {0,4,...,28})."""
+    R = db_w.shape[0]
+    n = lo.shape[0]
+    b0 = lo >> 5
+    nrows = (win + 59) // 32              # ceil((28 + win) / 32)
+    rows = [db_w[jnp.clip(b0 + k, 0, R - 1)].reshape(n, 32, 4)
+            for k in range(nrows)]
+    ent = jnp.concatenate(rows, axis=1) if nrows > 1 else rows[0]
+    s = ((lo >> 2) & 7).astype(jnp.int32)          # offset/4 in 0..7
+    out = ent[:, 0:win, :]
+    for k in range(1, 8):
+        out = jnp.where((s == k)[:, None, None], ent[:, 4 * k:4 * k + win, :],
+                        out)
+    return jnp.moveaxis(out, 1, 0)
 
 
 def pack_db_blocks(quad: np.ndarray, pad_entries: int = 256) -> np.ndarray:
@@ -385,8 +431,8 @@ def match_kmers_quad(
     not an escalating knob).
     """
     U32 = jnp.uint32
-    if db_quad.shape[1] == 16:
-        assert db_m is not None, "block-row DB requires db_m"
+    if db_quad.shape[1] in (16, 128):
+        assert db_m is not None, "block/wide-row DB requires db_m"
         M = db_m
     else:
         M = db_m if db_m is not None else db_quad.shape[0]
@@ -415,6 +461,13 @@ def match_kmers_quad(
         K = max(256, -(-n // 8))
         t1 = _gather_blocks(db_quad, lo, 4, aligned=True)   # [4, N, 4]
         flagged = q_valid & (rlen > 4) & (lo < M)
+        # rank of each flagged query among flagged queries: the K-slot
+        # side buffer is indexed by RANK, so the merge back to [N]
+        # columns is a monotone rank-indexed gather from a ~5 MB buffer
+        # instead of a [K -> N] scatter + dense zero buffer (the scatter
+        # variant REGRESSED the full bench 2x on v5e, 2026-08-21 —
+        # docs/PERF_NOTES.md)
+        inv = jnp.cumsum(flagged.astype(jnp.int32)) - 1     # [N]
         idx = jnp.nonzero(flagged, size=K, fill_value=n)[0]
         idxc = jnp.minimum(idx, n - 1).astype(jnp.int32)
         lo2 = lo[idxc]
@@ -424,10 +477,18 @@ def match_kmers_quad(
         blocks = [db_quad[jnp.clip(b0 + k, 0, R - 1)].reshape(K, 4, 4)
                   for k in range(nblk2)]
         ent2 = jnp.concatenate(blocks, axis=1)              # [K, cap-4, 4]
-        t2 = jnp.zeros((n + 1, cap - 4, 4), db_quad.dtype)
-        t2 = t2.at[idx].set(ent2)[:n]                       # pad row drops miss
+        t2 = ent2[jnp.clip(inv, 0, K - 1)]                  # [N, cap-4, 4]
         t_quad = jnp.concatenate([t1, jnp.moveaxis(t2, 0, 1)], axis=0)
-        flag_col = jnp.zeros(n + 1, bool).at[idx].set(True)[:n]
+        flag_col = flagged & (inv < K)
+        beyond_k = flagged & (inv >= K)
+    elif db_quad.shape[1] == 128:
+        # 512-byte rows (32 entries, pack_db_rows32): the fast path —
+        # per-op gather cost is ~flat in row width and drops 6x at the
+        # full 128-lane row (prof_gather_width.py), so the whole window
+        # is ceil((28+win)/32) ~= 2 gather ops regardless of cap
+        assert rlen is not None and aligned, \
+            "wide rows require the AA hash + 4-aligned run starts"
+        t_quad = _gather_window_wide(db_quad, lo, win)
     elif db_quad.shape[1] == 16:
         # 64-byte block rows (4 entries each, pack_db_blocks): gathers
         # are byte-bound at ~1.5 GB/s for 16 B rows but ~3.1 GB/s for
@@ -453,9 +514,8 @@ def match_kmers_quad(
         cmask = cmask & ((offs < 4) | flag_col[None, :])
         cmask = cmask & (offs < rlen[None, :])
         # each overflowing query counts ONCE: run beyond cap, or flagged
-        # but landing past the K side slots (cumsum rank > K) — keeps the
-        # count comparable with the single-tier semantics
-        beyond_k = flagged & (jnp.cumsum(flagged.astype(jnp.int32)) > K)
+        # but landing past the K side slots — keeps the count comparable
+        # with the single-tier semantics
         overflow = jnp.sum((q_valid & (rlen > cap)) | beyond_k) \
             .astype(jnp.int32)
     elif rlen is not None:

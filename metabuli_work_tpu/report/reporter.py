@@ -11,8 +11,10 @@ column documentation README.md:195-235):
     indent per depth); first row = unclassified; children sorted by
     descending clade count
   <job>_krona.html
-    nested <node name=...><magnitude> XML (standalone HTML wrapper
-    instead of the vendored krona prelude)
+    nested <node name=...><magnitude> XML (identical payload to the
+    reference's Reporter::kronaReport) rendered by an embedded
+    self-contained zoomable SVG sunburst (the reference prepends the
+    vendored KronaTools prelude instead, Reporter.cpp:219)
 """
 
 import os
@@ -117,11 +119,125 @@ def write_report(path, tax_counts: Dict[int, int], total_reads: int, taxonomy: T
             emit(taxonomy.root, 0)
 
 
+# The reference ships an interactive chart by prepending the KronaTools
+# prelude blob (Reporter.cpp:219 `krona_prelude_html`; the blob itself
+# lives in the absent mmseqs submodule).  Equivalent here: the SAME
+# nested <node> XML payload (golden-diffable against the binary's)
+# inside a hidden div, rendered by a small self-contained zoomable SVG
+# sunburst (no external fetches — the file works offline).
 _KRONA_HEADER = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>Krona chart</title>
-<style>body{font-family:sans-serif;background:#fff}</style></head>
+<style>
+body{font-family:sans-serif;background:#fff;margin:0}
+#chart{display:flex}
+#legend{padding:12px;font-size:13px;max-width:320px;overflow:auto;height:95vh}
+#legend div{cursor:pointer;padding:1px 4px;border-radius:3px;white-space:nowrap}
+#legend div:hover{background:#eee}
+#tip{position:fixed;pointer-events:none;background:#222;color:#fff;
+     padding:4px 8px;border-radius:4px;font-size:12px;display:none;z-index:9}
+path{stroke:#fff;stroke-width:.7;cursor:pointer}
+path:hover{opacity:.82}
+text.lbl{font-size:11px;pointer-events:none;fill:#222}
+#crumb{font-size:13px;padding:6px 12px;color:#444}
+#crumb span{cursor:pointer;color:#06c}
+</style></head>
 <body><div style="display:none" id="krona"><krona>
 """
+
+_KRONA_SCRIPT = """
+<div id="crumb"></div><div id="chart"><svg id="sb" width="760" height="760"
+viewBox="-380 -380 760 760"></svg><div id="legend"></div></div>
+<div id="tip"></div>
+<script>
+(function(){
+"use strict";
+function parse(el){
+  var val=0, kids=[];
+  for(var c=el.firstElementChild;c;c=c.nextElementSibling){
+    if(c.tagName.toLowerCase()==="magnitude"){
+      var v=c.querySelector("val"); if(v) val=+v.textContent;
+    } else if(c.tagName.toLowerCase()==="node") kids.push(parse(c));
+  }
+  return {name:el.getAttribute("name")||"?", val:val, kids:kids};
+}
+var rootEl=document.querySelector("#krona node");
+if(!rootEl) return;
+var root=parse(rootEl);
+function hue(s){var h=0;for(var i=0;i<s.length;i++)h=(h*31+s.charCodeAt(i))>>>0;return h%360;}
+var svg=document.getElementById("sb"), tip=document.getElementById("tip"),
+    legend=document.getElementById("legend"), crumb=document.getElementById("crumb");
+var R=370, DEPTH=7, total=root.val||1, trail=[root];
+function arcPath(a0,a1,r0,r1){
+  if(a1-a0>=2*Math.PI-1e-6){a1=a0+2*Math.PI-1e-6;}
+  var c=function(a,r){return [r*Math.sin(a), -r*Math.cos(a)];};
+  var p0=c(a0,r0),p1=c(a1,r0),p2=c(a1,r1),p3=c(a0,r1),
+      big=(a1-a0)>Math.PI?1:0;
+  return "M"+p0+"A"+r0+","+r0+" 0 "+big+" 1 "+p1+"L"+p2+
+         "A"+r1+","+r1+" 0 "+big+" 0 "+p3+"Z";
+}
+function esc(s){return s.replace(/&/g,"&amp;").replace(/</g,"&lt;");}
+function render(node){
+  var ti=trail.indexOf(node);
+  if(ti>=0){trail=trail.slice(0,ti+1);}else{trail.push(node);}
+  var parts=[], leg=[], mag=node.val||1;
+  var rw=R/(DEPTH+1);
+  function rec(n,a0,a1,d,h){
+    if(d>DEPTH||(a1-a0)<0.002) return;
+    var hh=(h===null)?hue(n.name):h;
+    var col="hsl("+hh+","+(62-6*Math.min(d,4))+"%,"+(52+5*Math.min(d,4))+"%)";
+    parts.push({n:n,a0:a0,a1:a1,d:d,col:col});
+    if(d===1) leg.push({n:n,col:col});
+    var a=a0, sum=0;
+    n.kids.forEach(function(k){sum+=k.val;});
+    var scale=(a1-a0)/Math.max(sum,n.val,1);
+    n.kids.forEach(function(k){
+      var w=k.val*scale; rec(k,a,a+w,d+1,(d===0)?null:hh); a+=w;
+    });
+  }
+  rec(node,0,2*Math.PI,0,null);
+  var s="";
+  parts.forEach(function(p,i){
+    var r0=(p.d===0)?0:rw*p.d, r1=rw*(p.d+1)-1;
+    s+='<path d="'+arcPath(p.a0,p.a1,r0,r1)+'" fill="'+p.col+'" data-i="'+i+'"/>';
+    var frac=(p.a1-p.a0)/(2*Math.PI);
+    if(frac>0.04&&p.d>0&&p.d<4){
+      var am=(p.a0+p.a1)/2, rm=(r0+r1)/2;
+      s+='<text class="lbl" text-anchor="middle" x="'+(rm*Math.sin(am)).toFixed(1)+
+         '" y="'+(-rm*Math.cos(am)).toFixed(1)+'">'+esc(p.n.name.slice(0,18))+"</text>";
+    }
+  });
+  s+='<text text-anchor="middle" y="-4" font-size="15">'+esc(node.name)+"</text>"+
+     '<text text-anchor="middle" y="16" font-size="12" fill="#666">'+node.val+" reads</text>";
+  svg.innerHTML=s;
+  svg.querySelectorAll("path").forEach(function(el){
+    var p=parts[+el.dataset.i];
+    el.onmousemove=function(e){
+      tip.style.display="block";tip.style.left=(e.clientX+12)+"px";
+      tip.style.top=(e.clientY+12)+"px";
+      tip.innerHTML=esc(p.n.name)+"<br>"+p.n.val+" reads ("+
+        (100*p.n.val/total).toFixed(2)+"% of all, "+
+        (100*p.n.val/mag).toFixed(2)+"% of "+esc(node.name)+")";
+    };
+    el.onmouseout=function(){tip.style.display="none";};
+    el.onclick=function(){if(p.n!==node&&p.n.kids.length)render(p.n);};
+  });
+  legend.innerHTML=leg.map(function(l,i){
+    return '<div data-i="'+i+'"><span style="color:'+l.col+'">&#9632;</span> '+
+      esc(l.n.name)+" ("+l.n.val+")</div>";
+  }).join("");
+  legend.querySelectorAll("div").forEach(function(el){
+    el.onclick=function(){var t=leg[+el.dataset.i].n;if(t.kids.length)render(t);};
+  });
+  crumb.innerHTML=trail.map(function(t,i){
+    return '<span data-i="'+i+'">'+esc(t.name)+"</span>";
+  }).join(" &rsaquo; ");
+  crumb.querySelectorAll("span").forEach(function(el){
+    el.onclick=function(){render(trail[+el.dataset.i]);};
+  });
+}
+render(root);
+})();
+</script>"""
 
 
 def _escape(s: str) -> str:
@@ -148,7 +264,9 @@ def write_krona(path, tax_counts: Dict[int, int], total_reads: int, taxonomy: Ta
 
         if clade:
             emit(taxonomy.root)
-        f.write("</node></krona></div></body></html>")
+        f.write("</node></krona></div>")
+        f.write(_KRONA_SCRIPT)
+        f.write("</body></html>")
 
 
 def aggregate_tax_counts(records: List[QueryRecord]) -> Dict[int, int]:

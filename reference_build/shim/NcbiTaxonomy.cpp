@@ -333,10 +333,14 @@ std::unordered_map<TaxID, TaxonCounts> NcbiTaxonomy::getCladeCounts(
     for (std::unordered_map<TaxID, unsigned int>::const_iterator it =
              taxonCounts.begin();
          it != taxonCounts.end(); ++it) {
+        out[it->first].taxCount = it->second;
         if (it->first == 0 || !nodeExists(it->first)) {
+            // unclassified (taxid 0) and unknown ids carry their own
+            // counts with no parent walk (mmseqs getCladeCounts keeps
+            // them so Reporter emits the "unclassified" node)
+            out[it->first].cladeCount += it->second;
             continue;
         }
-        out[it->first].taxCount = it->second;
         TaxID node = it->first;
         while (true) {
             out[node].cladeCount += it->second;

@@ -694,3 +694,50 @@ def test_golden_refiner(ref_binary, env, plain_db, tmp_path_factory):
         (f"refiner outputs differ: ref {len(ref_kept)} rows vs mine "
          f"{len(my_kept)}; sym-diff "
          f"{sorted(set(ref_kept.items()) ^ set(my_kept.items()))[:5]}")
+
+
+# =========================================================================
+# Cell: Krona payload — the nested <node> XML of <job>_krona.html must
+# carry the SAME hierarchy/counts as the binary's (Reporter.cpp:146-219).
+# Trees are compared canonically (children as sorted multisets): the
+# reference's child sort is unstable on clade-count ties, so sibling
+# ORDER on equal counts is unspecified — the tree itself is not.
+# =========================================================================
+
+def _krona_tree(path):
+    import xml.etree.ElementTree as ET
+
+    h = open(path, encoding="utf-8", errors="replace").read()
+    assert "<krona" in h and "</krona>" in h, f"no krona payload in {path}"
+    xml = h[h.index("<krona"):h.index("</krona>") + len("</krona>")]
+    root = ET.fromstring(xml).find("node")
+    assert root is not None
+
+    def canon(n):
+        val = n.find("magnitude/val")
+        kids = tuple(sorted(canon(c) for c in n.findall("node")))
+        return (n.get("name"), int(val.text) if val is not None else 0,
+                kids)
+
+    return canon(root)
+
+
+def test_golden_krona(ref_binary, env, plain_db, tmp_path_factory):
+    tmp, _ = env
+    out = _ref_classify(ref_binary, plain_db, tmp / "OUT_krona", "mx",
+                        [tmp / "reads.fq"], "--seq-mode", "1",
+                        "--min-score", "0.15", "--min-sp-score", "0.5")
+    ref_tree = _krona_tree(out / "mx_krona.html")
+    assert ref_tree[0] == "all" and ref_tree[1] > 0
+
+    results, clf = _my_classify(plain_db, tmp / "reads.fq")
+    my_out = tmp_path_factory.mktemp("krona")
+    from metabuli_work_tpu.report import reporter
+
+    reporter.write_all(str(my_out), "mx", results, clf.taxonomy)
+    my_tree = _krona_tree(my_out / "mx_krona.html")
+    assert my_tree == ref_tree
+    # and the file must actually render: the embedded sunburst script
+    # ships inside the same HTML (VERDICT r3: no blank pages)
+    html = open(my_out / "mx_krona.html").read()
+    assert "<script>" in html and "render(root)" in html

@@ -47,7 +47,10 @@ def _fixture(n_species=8, glen=20000, n_reads=64, seed=17):
     return index, reads, lens
 
 
-def _run(index, reads, lens, monkeypatch, flag):
+def _run(index, reads, lens, monkeypatch, flag, wide="0"):
+    # two-tier applies to the NARROW block layout; the wide 512-byte-row
+    # probe supersedes it (pipeline._init_device_dp)
+    monkeypatch.setenv("METABULI_WIDE_PROBE", wide)
     monkeypatch.setenv("METABULI_TWO_TIER", flag)
     params = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
                             batch_size=len(reads))
@@ -68,3 +71,16 @@ def test_two_tier_classify_identical(monkeypatch):
         "flag must engage (requires the aligned block layout)"
     assert sum(1 for c, _, _ in base if c) > 0
     assert base == two
+
+
+def test_wide_probe_classify_identical(monkeypatch):
+    """512-byte-row wide probe (the default) == narrow block probe,
+    per read, bit-identical — same bar as the two-tier equality."""
+    index, reads, lens = _fixture()
+    clf0, narrow = _run(index, reads, lens, monkeypatch, "0", wide="0")
+    clfw, wide = _run(index, reads, lens, monkeypatch, "0", wide="1")
+    assert not getattr(clf0, "_wide", False)
+    assert getattr(clfw, "_wide", False), "wide probe must engage"
+    assert clfw.db_quad.shape[1] == 128
+    assert sum(1 for c, _, _ in narrow if c) > 0
+    assert narrow == wide
