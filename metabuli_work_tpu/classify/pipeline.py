@@ -930,6 +930,15 @@ class Classifier:
                                        ctx["paths"].shape[1] - 1) * 2
             else:
                 break
+            import os as _os
+
+            if _os.environ.get("METABULI_DEBUG_RETRY"):
+                import sys as _sys
+
+                print(f"# retry st={st.tolist()} -> cap={eff_cap} "
+                      f"wf={eff_wf} tt={eff_tt} pw={self._path_width} "
+                      f"pb={self._path_block} wfrac={self._win_frac}",
+                      file=_sys.stderr)
             ctx = redisp()
             hdr = np.asarray(ctx["prefix"])
             st = hdr[:4, 0]
@@ -1952,28 +1961,37 @@ class Classifier:
         group: list = []
         prev_ctxs: list = []
 
-        def flush(group):
+        def finish_prev():
             nonlocal prev_ctxs, done
-            ctxs = self._dispatch_group_stream(group)
             for c in prev_ctxs:
                 res = self._finish_batch(c)
                 all_results.extend(res)
                 done += len(res)
                 if progress:
                     progress(done)
-            prev_ctxs = ctxs
+            prev_ctxs = []
 
+        def flush(group):
+            nonlocal prev_ctxs
+            # finish BEFORE dispatching: any overflow retry in the
+            # previous group updates the sticky knobs (cap, win_frac,
+            # path_block, path_width) that the NEXT group's dispatch
+            # reads — dispatching first would send the whole group with
+            # stale knobs and each member would pay its own single-batch
+            # retry sweep (measured 7x streaming regression, r4)
+            finish_prev()
+            prev_ctxs = self._dispatch_group_stream(group)
+
+        first = True
         for b in batches:
             group.append(b)
-            if len(group) >= G:
+            # the first batch goes SOLO so its retries settle the
+            # adaptive knobs before a full group commits to them
+            if first or len(group) >= G:
                 flush(group)
                 group = []
+                first = False
         if group:
             flush(group)
-        for c in prev_ctxs:
-            res = self._finish_batch(c)
-            all_results.extend(res)
-            done += len(res)
-            if progress:
-                progress(done)
+        finish_prev()
         return all_results
