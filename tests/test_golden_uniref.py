@@ -62,14 +62,19 @@ def uniref_env(tmp_path_factory):
     rng = np.random.default_rng(4242)
     tmp = tmp_path_factory.mktemp("golden_uniref")
 
-    n100, n90, n50 = 12, 6, 3
+    # > 4096 DB k-mers: the binary writes `split` anchors every
+    # (kmerCnt / --split-num=4096) entries, so a smaller DB yields an
+    # all-zero split file and makeQueryKmerSplits indexes data[-1]
+    # (segfault, KmerMatcher.cpp:670) — an upstream small-DB edge this
+    # test sidesteps by using a realistic k-mer count
+    n100, n90, n50 = 24, 12, 6
     proteins = {}
     entries = []
     for i in range(n100):
         u100 = f"UniRef100_P{i:03d}"
         u90 = f"UniRef90_Q{i // 2:03d}"
         u50 = f"UniRef50_R{i // 4:03d}"
-        seq = _protein(rng, int(rng.integers(80, 300)))
+        seq = _protein(rng, int(rng.integers(250, 650)))
         proteins[u100] = seq
         # property order matters for the reference's yxml state machine:
         # "UniRef90 ID" must precede "UniRef50 ID" (UnirefTree.cpp:177-182),
@@ -143,7 +148,7 @@ def test_golden_uniref(ref_binary, uniref_env, tmp_path_factory):
     db_dir = tmp / "REFDB"
     db_dir.mkdir(exist_ok=True)
     r = subprocess.run(
-        [ref_binary, "create-unirefdb", str(db_dir),
+        [ref_binary, "create-uniref-db", str(db_dir),
          str(tmp / "uniref100.fasta"), str(tree_mtbl),
          "--max-ram", "4"],
         capture_output=True, timeout=600)
@@ -153,7 +158,7 @@ def test_golden_uniref(ref_binary, uniref_env, tmp_path_factory):
     out_dir = tmp / "REFOUT"
     out_dir.mkdir(exist_ok=True)
     r = subprocess.run(
-        [ref_binary, "assign-uniref", str(tmp / "queries.fasta"),
+        [ref_binary, "assign_uniref", str(tmp / "queries.fasta"),
          str(db_dir), str(tree_mtbl), str(out_dir),
          "--max-ram", "4", "--threads", "2"],
         capture_output=True, timeout=600)
@@ -179,6 +184,14 @@ def test_golden_uniref(ref_binary, uniref_env, tmp_path_factory):
     mine = _parse_uniref_tsv(my_path)
 
     assert mine.keys() == ref.keys()
-    bad = [(q, ref[q], mine[q]) for q in ref if ref[q] != mine[q]]
+    # kmerMatchCnt is compared only for CLASSIFIED queries: the
+    # reference's ProteinQuery.kmerMatchCnt (common.h:135, no default
+    # initializer) is only assigned inside a match block
+    # (UnirefClassifier.cpp assignUniref), so never-matched queries
+    # print stale/uninitialized memory there
+    def norm(v):
+        return v if v[0] != "-" else ("-",)
+
+    bad = [(q, ref[q], mine[q]) for q in ref if norm(ref[q]) != norm(mine[q])]
     assert not bad, (f"{len(bad)}/{len(ref)} uniref assignments differ; "
                      f"first 3: {bad[:3]}")
