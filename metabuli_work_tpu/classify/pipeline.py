@@ -322,6 +322,20 @@ class Classifier:
         db_ef = ef[self.index.taxids.astype(np.int64)].astype(np.int32)
         from ..ops.match_jax import build_aa_hash, pack_db_quad
 
+        # wide (512-byte-row) shard layout for the streaming / mesh
+        # paths: same ~3x probe win as the single-chip resident path
+        # (docs/PERF_NOTES.md), gated off when run-alignment padding
+        # would inflate the shards past ~2.5x (a short-run DB's padded
+        # upload bytes would then outgrow the per-op gather win)
+        if self._streaming or self.mesh is not None:
+            runs = self.index._aa_runs()
+            n_al = int((((runs + 3) // 4) * 4).sum())
+            m_raw = max(len(self.index.values), 1)
+            infl = float(os.environ.get("METABULI_WIDE_INFLATE", "2.5"))
+            self._shard_wide = (os.environ.get("METABULI_WIDE_PROBE", "1")
+                                == "1" and n_al <= infl * m_raw)
+            self._shard_bytes = (n_al if self._shard_wide
+                                 else len(self.index.values)) * 16
         if self._streaming:
             # index stays HOST-side, cut into AA-boundary ranges sized to
             # the HBM budget; classify loops range passes per batch
@@ -329,9 +343,10 @@ class Classifier:
 
             quad_np = pack_db_quad(self.index.values, db_ef, sp_euk)
             budget = self._hbm_budget_gb * (1 << 30) * 0.5
-            n_ranges = max(2, int(np.ceil(quad_np.nbytes / budget)))
+            n_ranges = max(2, int(np.ceil(self._shard_bytes / budget)))
             (self._stream_quads, self._stream_hts, self.hash_log2_rows,
-             self.hash_chain, _) = shard_quad_index(quad_np, n_ranges)
+             self.hash_chain, _) = shard_quad_index(
+                 quad_np, n_ranges, wide=self._shard_wide)
             self._n_ranges = n_ranges
             self.euler = jnp.asarray(self.taxonomy.euler.astype(np.int32))
             self.ef_node = jnp.asarray(ef.astype(np.int32))
@@ -359,12 +374,13 @@ class Classifier:
             # RAM-bounded DB streams, QueryIndexer.cpp:30-147)
             budget = self._hbm_budget_gb * (1 << 30) * 0.5
             self._mesh_stream = bool(
-                budget > 0 and quad_np.nbytes > budget * n_db)
+                budget > 0 and self._shard_bytes > budget * n_db)
             if self._mesh_stream:
                 n_ranges = max(2, int(np.ceil(
-                    quad_np.nbytes / (budget * n_db))))
+                    self._shard_bytes / (budget * n_db))))
                 quads, hts, self.hash_log2_rows, self.hash_chain, _ = \
-                    shard_quad_index(quad_np, n_ranges * n_db)
+                    shard_quad_index(quad_np, n_ranges * n_db,
+                                     wide=self._shard_wide)
                 # range r = shard rows [r*n_db, (r+1)*n_db)
                 self._stream_quads, self._stream_hts = quads, hts
                 self._n_ranges = n_ranges * n_db
@@ -372,7 +388,7 @@ class Classifier:
                 self._mesh_stream_cache: dict = {}
             else:
                 quads, hts, self.hash_log2_rows, self.hash_chain, _ = \
-                    shard_quad_index(quad_np, n_db)
+                    shard_quad_index(quad_np, n_db, wide=self._shard_wide)
                 # host-side references double as the long-read chunk
                 # path's range set (_stream_probe_matches) — mesh mode
                 # streams the same AA-boundary cuts for that tail case

@@ -431,8 +431,17 @@ def match_kmers_quad(
     not an escalating knob).
     """
     U32 = jnp.uint32
-    if db_quad.shape[1] in (16, 128):
-        assert db_m is not None, "block/wide-row DB requires db_m"
+    if db_quad.shape[1] == 128:
+        # 512-byte rows only ever come from pack_db_rows32 over
+        # align_runs4 output (sentinel pads never AA-match, hash misses
+        # resolve lo = M), so the padded row space is a correct default
+        # entry count and the run starts are always 4-aligned
+        if db_m is None:
+            db_m = db_quad.shape[0] * 32
+            aligned = True
+        M = db_m
+    elif db_quad.shape[1] == 16:
+        assert db_m is not None, "block-row DB requires db_m"
         M = db_m
     else:
         M = db_m if db_m is not None else db_quad.shape[0]

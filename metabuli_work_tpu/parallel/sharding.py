@@ -250,7 +250,7 @@ def make_sharded_fused_dp_step(mesh: Mesh, cap: int = 16,
     )
 
 
-def shard_quad_index(quad: np.ndarray, n_shards: int):
+def shard_quad_index(quad: np.ndarray, n_shards: int, wide: bool = False):
     """Cut a pack_db_quad [M, 4] uint32 array into n_shards contiguous
     metamer ranges at AA-part boundaries, plus per-shard AA hash tables
     with ONE uniform geometry (row count / chain length are static jit
@@ -262,10 +262,19 @@ def shard_quad_index(quad: np.ndarray, n_shards: int):
     the probe's AA-equality mask.  Hash lookups of foreign queries miss
     and resolve to lo = S, failing the pos < S test.
 
-    Returns (quads [n, S, 4] uint32, hash_tables [n, R, 16] uint32,
-    log2_rows, chain, counts int32 [n]).
+    wide=True: each shard is realigned (align_runs4) and packed into
+    512-byte rows (pack_db_rows32 layout, 32 entries/row) with 42-slot
+    512-byte hash rows — the same ~3x-faster probe geometry the
+    single-chip resident path uses (docs/PERF_NOTES.md: XLA row-gather
+    cost is per-index and drops ~6x at the full 128-lane row).
+    match_kmers_quad detects the [*, 128] shape and takes the wide
+    window path with db_m defaulted to the padded row space.
+
+    Returns (quads [n, S, 4] u32 — or [n, R32, 128] when wide,
+    hash_tables [n, R, 16|128] uint32, log2_rows, chain,
+    counts int32 [n] — aligned entry counts when wide).
     """
-    from ..ops.match_jax import build_aa_hash
+    from ..ops.match_jax import align_runs4, build_aa_hash, pack_db_rows32
 
     M = quad.shape[0]
     v = quad[:, 0].astype(np.uint64) | (quad[:, 1].astype(np.uint64) << 32)
@@ -277,32 +286,62 @@ def shard_quad_index(quad: np.ndarray, n_shards: int):
             t += 1
         bounds.append(min(t, M))
     bounds.append(M)
-    counts = np.diff(bounds).astype(np.int32)
-    S = max(int(counts.max()) if M else 1, 1)
-    quads = np.full((n_shards, S, 4), np.uint32(0xFFFFFFFF), dtype=np.uint32)
     shard_values = []
-    for i in range(n_shards):
-        lo, hi = bounds[i], bounds[i + 1]
-        quads[i, : hi - lo] = quad[lo:hi]
-        shard_values.append(v[lo:hi])
+    hash_kw: dict = {}
+    if wide:
+        hash_kw = dict(slots=42, row_u32=128)
+        aligned_quads, starts_list, counts_l = [], [], []
+        for i in range(n_shards):
+            lo, hi = bounds[i], bounds[i + 1]
+            v_p, p2_p, p3_p, starts_p = align_runs4(
+                v[lo:hi], quad[lo:hi, 2], quad[lo:hi, 3])
+            q_p = np.stack([
+                (v_p & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (v_p >> np.uint64(32)).astype(np.uint32),
+                p2_p, p3_p], axis=1)
+            aligned_quads.append(q_p)
+            starts_list.append(starts_p)
+            counts_l.append(len(v_p))
+            shard_values.append(v[lo:hi])
+        counts = np.asarray(counts_l, dtype=np.int32)
+        S = max(int(counts.max(initial=0)), 1)
+        rows = [pack_db_rows32(q, pad_entries=S - len(q) + 256)
+                for q in aligned_quads]
+        quads = np.stack(rows) if rows else \
+            np.zeros((0, (S + 287) // 32, 128), np.uint32)
+        builds = [build_aa_hash(sv, starts_override=st, **hash_kw)
+                  for sv, st in zip(shard_values, starts_list)]
+    else:
+        starts_list = [None] * n_shards
+        counts = np.diff(bounds).astype(np.int32)
+        S = max(int(counts.max()) if M else 1, 1)
+        quads = np.full((n_shards, S, 4), np.uint32(0xFFFFFFFF),
+                        dtype=np.uint32)
+        for i in range(n_shards):
+            lo, hi = bounds[i], bounds[i + 1]
+            quads[i, : hi - lo] = quad[lo:hi]
+            shard_values.append(v[lo:hi])
+        builds = [build_aa_hash(sv) for sv in shard_values]
     # uniform hash geometry: size every table for the largest shard and
     # rebuild until all shards agree on one row count (min_log2_rows only
     # sets the start point — a pathological collision cluster can still
     # double past it, in which case every other shard re-pads up).  The
     # static chain is the max observed chain; extra chain gathers on
     # smaller shards are harmless (they just re-miss).
-    builds = [build_aa_hash(sv) for sv in shard_values]
     log2 = max((b[1] for b in builds), default=8)
     while True:
-        builds = [b if b[1] == log2 else build_aa_hash(sv, min_log2_rows=log2)
-                  for sv, b in zip(shard_values, builds)]
+        builds = [b if b[1] == log2
+                  else build_aa_hash(sv, min_log2_rows=log2,
+                                     starts_override=st, **hash_kw)
+                  for sv, st, b in zip(shard_values, starts_list, builds)]
         got = max((b[1] for b in builds), default=log2)
         if got == log2:
             break
         log2 = got
     chain = max((b[2] for b in builds), default=1)
     ht = (np.stack([b[0] for b in builds]) if builds
-          else np.zeros((n_shards, 256, 16), np.uint32))
+          else np.zeros((n_shards, 256, hash_kw.get("row_u32", 16)),
+                        np.uint32))
     return quads, ht, log2, chain, counts
 
 
