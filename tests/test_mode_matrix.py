@@ -131,3 +131,20 @@ def test_long_reads_compose_with_modes(setup, tmp_path_factory, mode):
     got = _collect(_mk(index, 3, mode), longf, 3)
     assert got == want, {k: (got[k], want[k])
                          for k in want if got[k] != want[k]}
+
+
+@pytest.mark.parametrize("mode", ["streaming", "mesh", "mesh_stream"])
+def test_wide_shards_all_modes_equal(setup, tmp_path_factory, mode,
+                                     monkeypatch):
+    """Forced 512-byte-row (wide) shard layout in every sharded mode:
+    the inflation guard disables wide on short-run toy DBs, so CI pins
+    the wide path explicitly (it is the production layout at scale)."""
+    monkeypatch.setenv("METABULI_WIDE_INFLATE", "99")
+    index, reads, contig = setup
+    short, _ = _files(tmp_path_factory, reads, contig)
+    want = _collect(_mk(index, 1, "resident"), short, 1)
+    clf = _mk(index, 1, mode)
+    assert clf._shard_wide and clf._stream_quads.shape[-1] == 128
+    got = _collect(clf, short, 1)
+    assert got == want, {k: (got[k], want[k])
+                         for k in want if got[k] != want[k]}

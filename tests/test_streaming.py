@@ -105,3 +105,26 @@ def test_streaming_paired(stream_db):
     streamed = clf_s.classify_file(str(reads), str(reads))
     for qs, qt in zip(resident, streamed):
         assert _res(qs) == _res(qt)
+
+
+def test_streaming_wide_shards_equal(stream_db, monkeypatch):
+    """512-byte-row (wide) shard layout vs resident: the inflation guard
+    normally disables wide on short-run toy DBs, so force it past the
+    guard — CI must cover the wide shard path regardless of DB shape."""
+    monkeypatch.setenv("METABULI_WIDE_INFLATE", "99")
+    db_dir, reads = stream_db
+    params = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
+                            batch_size=8)
+    resident = Classifier(str(db_dir), params).classify_file(str(reads))
+
+    quad_bytes = 16 * Classifier(str(db_dir), params).index.size
+    budget_gb = (quad_bytes / 3.5) * 2 / (1 << 30)
+    sparams = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
+                             batch_size=8, hbm_budget_gb=budget_gb)
+    clf_s = Classifier(str(db_dir), sparams)
+    assert clf_s._streaming and clf_s._shard_wide, \
+        f"streaming={clf_s._streaming} wide={clf_s._shard_wide}"
+    assert clf_s._stream_quads.shape[-1] == 128   # 512-byte rows
+    streamed = clf_s.classify_file(str(reads))
+    for qs, qt in zip(resident, streamed):
+        assert _res(qs) == _res(qt)
