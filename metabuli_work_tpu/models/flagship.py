@@ -271,8 +271,12 @@ def _dp_from_probe(out, qp, qs, shapes, win_over, *, cap, kmer_format,
                 dyn_gap=dyn_gap, block_w=path_block, compact5=compact5,
                 interpret=pallas_interpret)
         else:
+            # pos is constant along the sorted cap axis (one query
+            # position per window) — permuting it is a no-op, skip it
+            pos_b = fields.pop("pos")
             fields = dp_jax.sort_candidates(fields, fields["sel"],
                                             fields["ham"], fields["dna"])
+            fields["pos"] = pos_b
             md = jnp.where((fields["species"] >> 30) & 1 != 0,
                            jnp.int32(min_cons_euk), jnp.int32(min_cons))
             dp = dp_jax.path_dp(fields["sel"], fields["species"],

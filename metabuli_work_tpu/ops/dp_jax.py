@@ -72,6 +72,13 @@ def sort_candidates(fields, sel, ham, dna):
     sums, no lax.sort / take_along_axis (XLA sorts along a minor axis of
     ~10 lower terribly on TPU, and the candidate tensors keep their large
     minor axis this way).
+
+    The sort key (ham << 24) | dna (invalid -> 0x7FFFFFFF) is permuted
+    ONCE and "sel"/"ham"/"dna" are unpacked from it instead of paying
+    three more cap^2 one-hot reductions — so on lanes with sel=False the
+    returned ham/dna are 127/0xFFFFFF rather than the original unsorted
+    values (path_dp never reads them there: unselected lanes carry
+    species=-1 through the scan and can neither connect nor emit).
     """
     key = jnp.where(sel, (ham << 24) | dna, jnp.int32(0x7FFFFFFF))
     cap = key.shape[0]
@@ -89,7 +96,18 @@ def sort_candidates(fields, sel, ham, dna):
         return jnp.sum(jnp.where(oh, v[None], jnp.zeros((), v.dtype)), axis=1,
                        dtype=v.dtype)
 
-    return {k: permute(v) for k, v in fields.items()}
+    key_s = permute(key)
+    out = {}
+    for k, v in fields.items():
+        if k == "sel":
+            out[k] = key_s != jnp.int32(0x7FFFFFFF)
+        elif k == "ham":
+            out[k] = key_s >> 24
+        elif k == "dna":
+            out[k] = key_s & jnp.int32(0xFFFFFF)
+        else:
+            out[k] = permute(v)
+    return out
 
 
 def path_dp(sel, species, dna, rh, ham, pos, min_depth,

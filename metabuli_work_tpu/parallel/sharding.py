@@ -223,8 +223,10 @@ def make_sharded_fused_dp_step(mesh: Mesh, cap: int = 16,
             "ham": resh(merged["hamming"]),
             "pos": jnp.broadcast_to(qp.reshape(1, b * F, W), (cap, b * F, W)),
         }
+        pos_b = fields.pop("pos")   # constant along cap: skip the permute
         fields = dp_jax.sort_candidates(fields, fields["sel"], fields["ham"],
                                         fields["dna"])
+        fields["pos"] = pos_b
         # euk-ness rides in species bit 30 when the caller passes sp_euk
         # (same convention as the single-chip fused step)
         md = jnp.where((fields["species"] >> 30) & 1 != 0,

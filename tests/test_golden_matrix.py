@@ -245,8 +245,17 @@ def _parse_ref_tsv(path):
                 t, n = tok.split(":")
                 taxcnt[int(t)] = int(n)
         ref[c[1]] = (int(c[0]), int(c[2]), int(c[3]), float(c[4]), c[5],
-                     taxcnt)
+                     taxcnt, c[4].strip())
     return ref
+
+
+def _score_str_equal(score_f32, ref_str):
+    """Strongest comparison the TSV allows (SURVEY.md:582-586): format
+    our f32 score with the reference's own printed precision and require
+    exact string equality — equal f32 bits always pass; a 1-ulp
+    deviation only passes if it prints identically at that precision."""
+    dec = len(ref_str.split(".")[1]) if "." in ref_str else 0
+    return f"{float(np.float32(score_f32)):.{dec}f}" == ref_str
 
 
 def _diff_results(results, tax, ref, check_cnt=True):
@@ -264,7 +273,7 @@ def _diff_results(results, tax, ref, check_cnt=True):
         w = ref[qr.name]
         ok = (int(r.is_classified) == w[0] and cls == w[1]
               and qr.covered_length == w[2]
-              and abs(float(np.float32(r.score)) - w[3]) <= 5e-6
+              and _score_str_equal(r.score, w[6])
               and (not w[0] or rank == w[4])
               and (not check_cnt or not w[0] or cnt == w[5]))
         if not ok:
