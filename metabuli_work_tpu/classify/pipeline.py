@@ -187,13 +187,13 @@ class Classifier:
             or float(_os.environ.get("METABULI_HBM_GB", "0") or 0)
         self._hbm_budget_gb = budget_gb
         quad_bytes = int(self.index.values.nbytes) * 2   # 16 B/entry packed
-        if budget_gb > 0 and self.mesh is None:
-            # resident mode may block-ALIGN run starts (align_runs4,
-            # up to ~2.5x padding for short-run DBs) — size the
-            # streaming decision on the true resident footprint so a DB
-            # just under budget cannot OOM after padding (alignment is
-            # skipped above METABULI_QUAD_ALIGN_GB, so use the plain
-            # size in that regime)
+        if (budget_gb > 0 and self.mesh is None
+                and _os.environ.get("METABULI_WIDE_PROBE", "1") != "1"):
+            # the narrow opt-in layout block-ALIGNs run starts
+            # (align_runs4, up to ~2.5x padding for short-run DBs) —
+            # size the streaming decision on that footprint so a DB
+            # just under budget cannot OOM after padding (the default
+            # wide layout is unaligned since r5: exactly 16 B/kmer)
             runs = self.index._aa_runs()
             padded = int((((runs + 3) // 4) * 4).sum()) * 16
             align_cap = float(_os.environ.get("METABULI_QUAD_ALIGN_GB",
@@ -324,18 +324,12 @@ class Classifier:
 
         # wide (512-byte-row) shard layout for the streaming / mesh
         # paths: same ~3x probe win as the single-chip resident path
-        # (docs/PERF_NOTES.md), gated off when run-alignment padding
-        # would inflate the shards past ~2.5x (a short-run DB's padded
-        # upload bytes would then outgrow the per-op gather win)
+        # (docs/PERF_NOTES.md); unaligned wide rows since r5, so the
+        # shards are exactly 16 B/kmer either way
         if self._streaming or self.mesh is not None:
-            runs = self.index._aa_runs()
-            n_al = int((((runs + 3) // 4) * 4).sum())
-            m_raw = max(len(self.index.values), 1)
-            infl = float(os.environ.get("METABULI_WIDE_INFLATE", "2.5"))
             self._shard_wide = (os.environ.get("METABULI_WIDE_PROBE", "1")
-                                == "1" and n_al <= infl * m_raw)
-            self._shard_bytes = (n_al if self._shard_wide
-                                 else len(self.index.values)) * 16
+                                == "1")
+            self._shard_bytes = len(self.index.values) * 16
         if self._streaming:
             # index stays HOST-side, cut into AA-boundary ranges sized to
             # the HBM budget; classify loops range passes per batch
@@ -421,37 +415,46 @@ class Classifier:
         )
 
         use_hash = os.environ.get("METABULI_HASH_PROBE", "1") == "1"
-        if use_hash:
-            # alignment costs HBM (runs pad to 4-entry blocks; short-run
-            # DBs inflate up to ~2.5x) — only take the one-fewer-gather
-            # win while the padded quad stays under a budget
+        # 512-byte-row layout (32 entries/row): XLA's row-gather cost is
+        # per-INDEX, not per-byte, and drops ~6x at the full 128-lane
+        # row width (profiling/prof_gather_width.py) — the candidate
+        # window becomes ~2 gather ops at any cap and the hash probe 1.
+        # Requires only the hash (run lengths); run starts may be
+        # ARBITRARY since r5 (two-level window select) — no 4-entry
+        # alignment padding, so the quad is exactly 16 B/kmer.
+        self._wide = (use_hash
+                      and os.environ.get("METABULI_WIDE_PROBE", "1")
+                      == "1")
+        if self._wide:
+            self._aligned = False
+            starts_pad = None
+            self.db_m = len(self.index.values)
+            self.db_quad = jnp.asarray(pack_db_rows32(
+                pack_db_quad(self.index.values, db_ef, sp_euk)))
+        elif use_hash:
+            # narrow 64-byte block layout (opt-in): alignment costs HBM
+            # (runs pad to 4-entry blocks; short-run DBs inflate up to
+            # ~2.5x) — only take the one-fewer-gather win while the
+            # padded quad stays under a budget
             runs = self.index._aa_runs()
             n_pad = int((((runs + 3) // 4) * 4).sum())
             align_cap = float(os.environ.get("METABULI_QUAD_ALIGN_GB",
                                              "6")) * (1 << 30)
             self._aligned = n_pad * 16 <= align_cap
-        # 512-byte-row layout (32 entries/row): XLA's row-gather cost is
-        # per-INDEX, not per-byte, and drops ~6x at the full 128-lane
-        # row width (profiling/prof_gather_width.py) — the candidate
-        # window becomes ~2 gather ops at any cap and the hash probe 1.
-        # Requires the hash (run lengths) + 4-aligned run starts.
-        self._wide = (use_hash and self._aligned
-                      and os.environ.get("METABULI_WIDE_PROBE", "1")
-                      == "1")
-        if use_hash and self._aligned:
-            v_pad, ef_pad, sp_pad, starts_pad = align_runs4(
-                self.index.values, db_ef, sp_euk)
-            self.db_m = len(v_pad)
-            pack = pack_db_rows32 if self._wide else pack_db_blocks
-            self.db_quad = jnp.asarray(pack(
-                pack_db_quad(v_pad, ef_pad, sp_pad)))
-        elif use_hash:
-            starts_pad = None
-            self.db_m = len(self.index.values)
-            self.db_quad = jnp.asarray(pack_db_blocks(
-                pack_db_quad(self.index.values, db_ef, sp_euk)))
+            if self._aligned:
+                v_pad, ef_pad, sp_pad, starts_pad = align_runs4(
+                    self.index.values, db_ef, sp_euk)
+                self.db_m = len(v_pad)
+                self.db_quad = jnp.asarray(pack_db_blocks(
+                    pack_db_quad(v_pad, ef_pad, sp_pad)))
+            else:
+                starts_pad = None
+                self.db_m = len(self.index.values)
+                self.db_quad = jnp.asarray(pack_db_blocks(
+                    pack_db_quad(self.index.values, db_ef, sp_euk)))
         else:
             self._aligned = False
+            starts_pad = None
             self.db_m = len(self.index.values)
             self.db_quad = jnp.asarray(pack_db_blocks(
                 pack_db_quad(self.index.values, db_ef, sp_euk)))

@@ -296,23 +296,31 @@ def pack_db_rows32(quad: np.ndarray, pad_entries: int = 256) -> np.ndarray:
 def _gather_window_wide(db_w, lo, win):
     """[win, N, 4] candidate quads from 512-byte rows (32 entries each).
 
-    Requires lo 4-aligned (align_runs4).  Fetches the
-    ceil((28 + win)/32) consecutive rows that cover any aligned offset,
-    then selects the window with an 8-way VPU shift select (offset
-    in {0,4,...,28})."""
+    Works for ARBITRARY run starts (no alignment padding, r5): fetches
+    the ceil((31 + win)/32) consecutive rows that cover any in-row
+    offset 0..31, then selects the window with a two-level VPU shift
+    select — 8-way coarse on (offset>>2) over shifts of 4 entries, then
+    4-way fine on (offset&3) over shifts of 1.  10 selects total vs 7
+    for the old 4-aligned layout, for 2.5x less HBM + upload (the
+    4-entry run alignment inflated short-run DBs ~2.5x)."""
     R = db_w.shape[0]
     n = lo.shape[0]
     b0 = lo >> 5
-    nrows = (win + 59) // 32              # ceil((28 + win) / 32)
+    nrows = (win + 62) // 32              # ceil((31 + win) / 32)
     rows = [db_w[jnp.clip(b0 + k, 0, R - 1)].reshape(n, 32, 4)
             for k in range(nrows)]
     ent = jnp.concatenate(rows, axis=1) if nrows > 1 else rows[0]
-    s = ((lo >> 2) & 7).astype(jnp.int32)          # offset/4 in 0..7
-    out = ent[:, 0:win, :]
+    s = ((lo >> 2) & 7).astype(jnp.int32)          # coarse offset/4 in 0..7
+    wide = win + 3
+    out = ent[:, 0:wide, :]
     for k in range(1, 8):
-        out = jnp.where((s == k)[:, None, None], ent[:, 4 * k:4 * k + win, :],
-                        out)
-    return jnp.moveaxis(out, 1, 0)
+        out = jnp.where((s == k)[:, None, None],
+                        ent[:, 4 * k:4 * k + wide, :], out)
+    r = (lo & 3).astype(jnp.int32)                 # fine offset in 0..3
+    fine = out[:, 0:win, :]
+    for k in range(1, 4):
+        fine = jnp.where((r == k)[:, None, None], out[:, k:k + win, :], fine)
+    return jnp.moveaxis(fine, 1, 0)
 
 
 def pack_db_blocks(quad: np.ndarray, pad_entries: int = 256) -> np.ndarray:
@@ -432,13 +440,12 @@ def match_kmers_quad(
     """
     U32 = jnp.uint32
     if db_quad.shape[1] == 128:
-        # 512-byte rows only ever come from pack_db_rows32 over
-        # align_runs4 output (sentinel pads never AA-match, hash misses
-        # resolve lo = M), so the padded row space is a correct default
-        # entry count and the run starts are always 4-aligned
+        # 512-byte rows come from pack_db_rows32 (sentinel pads never
+        # AA-match, hash misses resolve lo = M), so the padded row space
+        # is a correct default entry count; run starts may be arbitrary
+        # (the wide window select handles any in-row offset)
         if db_m is None:
             db_m = db_quad.shape[0] * 32
-            aligned = True
         M = db_m
     elif db_quad.shape[1] == 16:
         assert db_m is not None, "block-row DB requires db_m"
@@ -494,9 +501,8 @@ def match_kmers_quad(
         # 512-byte rows (32 entries, pack_db_rows32): the fast path —
         # per-op gather cost is ~flat in row width and drops 6x at the
         # full 128-lane row (prof_gather_width.py), so the whole window
-        # is ceil((28+win)/32) ~= 2 gather ops regardless of cap
-        assert rlen is not None and aligned, \
-            "wide rows require the AA hash + 4-aligned run starts"
+        # is ceil((31+win)/32) ~= 2 gather ops regardless of cap
+        assert rlen is not None, "wide rows require the AA hash"
         t_quad = _gather_window_wide(db_quad, lo, win)
     elif db_quad.shape[1] == 16:
         # 64-byte block rows (4 entries each, pack_db_blocks): gathers

@@ -264,19 +264,20 @@ def shard_quad_index(quad: np.ndarray, n_shards: int, wide: bool = False):
     the probe's AA-equality mask.  Hash lookups of foreign queries miss
     and resolve to lo = S, failing the pos < S test.
 
-    wide=True: each shard is realigned (align_runs4) and packed into
-    512-byte rows (pack_db_rows32 layout, 32 entries/row) with 42-slot
-    512-byte hash rows — the same ~3x-faster probe geometry the
-    single-chip resident path uses (docs/PERF_NOTES.md: XLA row-gather
-    cost is per-index and drops ~6x at the full 128-lane row).
+    wide=True: each shard is packed into 512-byte rows (pack_db_rows32
+    layout, 32 entries/row) with 42-slot 512-byte hash rows — the same
+    ~3x-faster probe geometry the single-chip resident path uses
+    (docs/PERF_NOTES.md: XLA row-gather cost is per-index and drops ~6x
+    at the full 128-lane row).  Run starts are UNALIGNED since r5 (the
+    wide window select handles any in-row offset) — 16 B/kmer exactly.
     match_kmers_quad detects the [*, 128] shape and takes the wide
     window path with db_m defaulted to the padded row space.
 
     Returns (quads [n, S, 4] u32 — or [n, R32, 128] when wide,
     hash_tables [n, R, 16|128] uint32, log2_rows, chain,
-    counts int32 [n] — aligned entry counts when wide).
+    counts int32 [n]).
     """
-    from ..ops.match_jax import align_runs4, build_aa_hash, pack_db_rows32
+    from ..ops.match_jax import build_aa_hash, pack_db_rows32
 
     M = quad.shape[0]
     v = quad[:, 0].astype(np.uint64) | (quad[:, 1].astype(np.uint64) << 32)
@@ -292,27 +293,18 @@ def shard_quad_index(quad: np.ndarray, n_shards: int, wide: bool = False):
     hash_kw: dict = {}
     if wide:
         hash_kw = dict(slots=42, row_u32=128)
-        aligned_quads, starts_list, counts_l = [], [], []
-        for i in range(n_shards):
-            lo, hi = bounds[i], bounds[i + 1]
-            v_p, p2_p, p3_p, starts_p = align_runs4(
-                v[lo:hi], quad[lo:hi, 2], quad[lo:hi, 3])
-            q_p = np.stack([
-                (v_p & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-                (v_p >> np.uint64(32)).astype(np.uint32),
-                p2_p, p3_p], axis=1)
-            aligned_quads.append(q_p)
-            starts_list.append(starts_p)
-            counts_l.append(len(v_p))
-            shard_values.append(v[lo:hi])
-        counts = np.asarray(counts_l, dtype=np.int32)
+        starts_list = [None] * n_shards
+        counts = np.diff(bounds).astype(np.int32)
         S = max(int(counts.max(initial=0)), 1)
-        rows = [pack_db_rows32(q, pad_entries=S - len(q) + 256)
-                for q in aligned_quads]
+        rows = [pack_db_rows32(quad[bounds[i]:bounds[i + 1]],
+                               pad_entries=S - (bounds[i + 1] - bounds[i])
+                               + 256)
+                for i in range(n_shards)]
+        for i in range(n_shards):
+            shard_values.append(v[bounds[i]:bounds[i + 1]])
         quads = np.stack(rows) if rows else \
             np.zeros((0, (S + 287) // 32, 128), np.uint32)
-        builds = [build_aa_hash(sv, starts_override=st, **hash_kw)
-                  for sv, st in zip(shard_values, starts_list)]
+        builds = [build_aa_hash(sv, **hash_kw) for sv in shard_values]
     else:
         starts_list = [None] * n_shards
         counts = np.diff(bounds).astype(np.int32)

@@ -134,12 +134,10 @@ def test_long_reads_compose_with_modes(setup, tmp_path_factory, mode):
 
 
 @pytest.mark.parametrize("mode", ["streaming", "mesh", "mesh_stream"])
-def test_wide_shards_all_modes_equal(setup, tmp_path_factory, mode,
-                                     monkeypatch):
-    """Forced 512-byte-row (wide) shard layout in every sharded mode:
-    the inflation guard disables wide on short-run toy DBs, so CI pins
-    the wide path explicitly (it is the production layout at scale)."""
-    monkeypatch.setenv("METABULI_WIDE_INFLATE", "99")
+def test_wide_shards_all_modes_equal(setup, tmp_path_factory, mode):
+    """512-byte-row (wide) shard layout in every sharded mode — the
+    default production layout (unaligned run starts since r5, so no
+    inflation guard gates it on toy DBs)."""
     index, reads, contig = setup
     short, _ = _files(tmp_path_factory, reads, contig)
     want = _collect(_mk(index, 1, "resident"), short, 1)

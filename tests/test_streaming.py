@@ -107,11 +107,10 @@ def test_streaming_paired(stream_db):
         assert _res(qs) == _res(qt)
 
 
-def test_streaming_wide_shards_equal(stream_db, monkeypatch):
-    """512-byte-row (wide) shard layout vs resident: the inflation guard
-    normally disables wide on short-run toy DBs, so force it past the
-    guard — CI must cover the wide shard path regardless of DB shape."""
-    monkeypatch.setenv("METABULI_WIDE_INFLATE", "99")
+def test_streaming_wide_shards_equal(stream_db):
+    """512-byte-row (wide) shard layout vs resident — the default
+    production layout (unaligned run starts since r5, no inflation
+    guard)."""
     db_dir, reads = stream_db
     params = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
                             batch_size=8)
