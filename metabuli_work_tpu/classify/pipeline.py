@@ -16,6 +16,7 @@ re-probed with a larger static cap until exact.
 """
 
 import math
+import time
 from dataclasses import dataclass, field
 from typing import Iterator, List, Optional
 
@@ -243,6 +244,10 @@ class Classifier:
         self._fetch_estimate = 1 << 17  # rows; adapts to observed match counts
         self._path_estimate = 1 << 14   # emitted-path rows
         self._pairs_estimate = 1 << 12  # redundancy (rid, taxid) pair rows
+        # redundancy-prefix width compacted inside the kernel (sticky
+        # pow2; phase 2 re-runs wider on overflow) — bounds the blocking
+        # per-batch pair fetch to ~64 KB
+        self._pair_width = 1 << 13
         # static path-compaction width: compact_columns pays out_width
         # gathers per column (5 x width random gathers), so track the
         # observed path counts: grow on overflow (sticky), shrink one
@@ -408,11 +413,7 @@ class Classifier:
         # starts are padded to block boundaries (align_runs4) so the
         # hash-probe path fetches exactly ceil(cap/4) blocks with no
         # shuffle; ~15-37% more HBM for one fewer 12 MB gather/batch.
-        from ..ops.match_jax import (
-            align_runs4,
-            pack_db_blocks,
-            pack_db_rows32,
-        )
+        from ..ops.match_jax import align_runs4, pack_db_blocks
 
         use_hash = os.environ.get("METABULI_HASH_PROBE", "1") == "1"
         # 512-byte-row layout (32 entries/row): XLA's row-gather cost is
@@ -425,12 +426,27 @@ class Classifier:
         self._wide = (use_hash
                       and os.environ.get("METABULI_WIDE_PROBE", "1")
                       == "1")
+        # hash sizing knobs (shared by both layouts): chain=1 wins on
+        # v5e up to a ~3 GiB table budget; see the narrow-path comment
+        # below for the measured A/B
+        mc_env = os.environ.get("METABULI_HASH_CHAIN")
+        mc = int(mc_env) if mc_env is not None else 1
+        cap_b = int(float(os.environ.get("METABULI_HASH_GB", "3"))
+                    * (1 << 30))
         if self._wide:
             self._aligned = False
             starts_pad = None
-            self.db_m = len(self.index.values)
-            self.db_quad = jnp.asarray(pack_db_rows32(
-                pack_db_quad(self.index.values, db_ef, sp_euk)))
+            # pack once per DB, mmap ever after (index/packed_cache.py):
+            # the ~2 min of numpy packing at 100M kmers otherwise recurs
+            # on every process start
+            from ..index.packed_cache import load_or_pack_wide
+
+            rows, ht, self.hash_log2_rows, self.hash_chain, self.db_m = \
+                load_or_pack_wide(self.index.values, db_ef, sp_euk,
+                                  max_chain=mc,
+                                  max_bytes=0 if mc_env else cap_b)
+            self.db_quad = jnp.asarray(rows)
+            self.hash_table = jnp.asarray(ht)
         elif use_hash:
             # narrow 64-byte block layout (opt-in): alignment costs HBM
             # (runs pad to 4-entry blocks; short-run DBs inflate up to
@@ -463,7 +479,7 @@ class Classifier:
         # bisection (the bisection was the single largest device cost,
         # ~15 ms of the 22 ms step).  METABULI_HASH_PROBE=0 restores the
         # bisection.
-        if use_hash:
+        if use_hash and not self._wide:
             # Probe cost is gather-byte-bound (~2.6 GB/s effective on
             # v5e through the tunnel; profiling/prof_gather_model.py),
             # and each chain level is one [N]-row 64 B gather per batch
@@ -473,20 +489,14 @@ class Classifier:
             # DEFAULT up to a ~3 GiB table budget (METABULI_HASH_GB);
             # bigger DBs land on the largest chain that fits.
             # METABULI_HASH_CHAIN overrides (=3 smallest table).
-            mc_env = os.environ.get("METABULI_HASH_CHAIN")
-            mc = int(mc_env) if mc_env is not None else 1
-            cap_b = int(float(os.environ.get("METABULI_HASH_GB", "3"))
-                        * (1 << 30))
-            # wide mode: 512-byte hash rows (42 slots) — same fill
-            # fraction needs ~the same bytes, the probe is ONE wide
-            # gather, and 42-slot rows essentially never chain
-            geom = dict(slots=42, row_u32=128) if self._wide else {}
+            # (The wide path sized its 42-slot 512-byte-row table inside
+            # load_or_pack_wide above with the same knobs.)
             ht, self.hash_log2_rows, self.hash_chain = \
                 build_aa_hash(self.index.values, max_chain=mc,
                               max_bytes=0 if mc_env else cap_b,
-                              starts_override=starts_pad, **geom)
+                              starts_override=starts_pad)
             self.hash_table = jnp.asarray(ht)
-        else:
+        elif not use_hash:
             self.hash_table = None
             self.hash_log2_rows = self.hash_chain = 0
         self.euler = jnp.asarray(self.taxonomy.euler.astype(np.int32))
@@ -505,6 +515,9 @@ class Classifier:
         # EM needs per-read (species, score) lists -> host flow always.
         env_da = os.environ.get("METABULI_DEVICE_ASSIGN")
         self._device_assign = (env_da == "1") and not p.em
+        # adaptive fallback to device-assign when the D2H link degrades
+        # (_maybe_switch_device_assign); pinned flows opt out
+        self._da_auto_ok = env_da is None and not p.em
         self._combine_k = 8
         # two-tier candidate window (docs/PERF_NOTES.md lever 1):
         # 1-block window for all queries + compacted side gather for the
@@ -907,7 +920,9 @@ class Classifier:
         from .taxonomer import ReadResult as RR
 
         with self.timer.stage("hdr_sync"):
+            _t0 = time.perf_counter()
             hdr = np.asarray(ctx["prefix"])      # ONE blocking fetch
+            self._note_sync(time.perf_counter() - _t0)
             st = hdr[:4, 0]
         # Overflow retry ladder: every re-dispatch carries the EFFECTIVE
         # knob values of retries already taken this batch (a cap retry
@@ -1019,24 +1034,29 @@ class Classifier:
                 from ..models.flagship import redundancy_counts
 
                 sel, species, ham, ef, q_pos, q_sids = ctx["resident"]
-                packed2 = redundancy_counts(
-                    sel, species, ham, ef, q_pos, q_sids,
-                    jnp.asarray(best_sp),
-                    self.euler, self.lca_depth, self.lca_lift,
-                    dna_shift=int(self.taxonomer.dna_shift),
-                    n_quot=ctx["n_quot"], part_w=ctx["part_w"])
-                # the prefix here stays FULL WIDTH on purpose: the
-                # identity getitem is free, while a genuine slice
-                # program dispatched at this queue position stalls the
-                # host ~17 ms per batch (tunnel pathology, measured);
-                # the whole [2, n_groups] row is only ~147 KB anyway
-                est2 = packed2.shape[1] - 1
-                prefix2 = packed2[:, :est2 + 1]
+                bsp = jnp.asarray(best_sp)
+                dna_shift = int(self.taxonomer.dna_shift)
+                # fixed small prefix compacted INSIDE the kernel (out_w)
+                # instead of a full [2, B*n_quot] buffer: the pair fetch
+                # is the per-batch D2H tail, and a right-sized prefix is
+                # ~10x fewer blocking bytes when the tunnel degrades.
+                # Sticky pow2 width; overflow re-runs the (cheap,
+                # standalone) kernel wider in phase 2.
+                out_w = self._pair_width
+
+                def rerun(w, _a=(sel, species, ham, ef, q_pos, q_sids),
+                          _b=bsp, _n=ctx["n_quot"], _p=ctx["part_w"]):
+                    return redundancy_counts(
+                        *_a, _b, self.euler, self.lca_depth, self.lca_lift,
+                        dna_shift=dna_shift, n_quot=_n, part_w=_p, out_w=w)
+
+                packed2 = rerun(out_w)
                 try:
-                    prefix2.copy_to_host_async()
+                    packed2.copy_to_host_async()
                 except AttributeError:
                     pass
-                out_ctx.update(pairs=packed2, prefix2=prefix2, est2=est2)
+                out_ctx.update(prefix2=packed2, est2=out_w,
+                               red_rerun=rerun)
         return out_ctx
 
     def _finish_dp_phase2(self, ctx):
@@ -1062,9 +1082,21 @@ class Classifier:
                     else:
                         m2 = np.zeros((2, 0), np.int32)
                 else:
+                    _t0 = time.perf_counter()
                     hdr2 = np.asarray(ctx["prefix2"])  # ONE blocking fetch
+                    self._note_sync(time.perf_counter() - _t0)
                     n2 = int(hdr2[0, 0])
                     if n2 <= ctx["est2"]:
+                        m2 = hdr2[:, 1:n2 + 1]
+                    elif "red_rerun" in ctx:
+                        # prefix overflow: re-run the standalone kernel
+                        # at the next pow2 >= n2 (sticky for later
+                        # batches) and fetch the wider prefix
+                        w = ctx["est2"]
+                        while w < n2:
+                            w *= 2
+                        self._pair_width = max(self._pair_width, w)
+                        hdr2 = np.asarray(ctx["red_rerun"](w))
                         m2 = hdr2[:, 1:n2 + 1]
                     else:
                         m2 = np.asarray(ctx["pairs"][:, 1:n2 + 1])
@@ -1916,6 +1948,48 @@ class Classifier:
                     results[gi] = self._classify_long_read(rec.name, rec.seq)
         return results
 
+    # -- degraded-link detection: the host-scoring flow fetches
+    # ~0.5 MB/batch of emitted paths, which is free on a healthy link
+    # (async copies land behind the 6-deep pipeline) but dominates wall
+    # when the D2H path degrades (BENCH_r04: 280-460 ms blocking per
+    # batch on a degraded tunnel).  Track an EMA of the blocking sync
+    # cost; once it stays above _SYNC_SWITCH_S, flip to the
+    # device-assign flow (ops/assign_jax), which keeps paths on device
+    # and fetches only a [6, B+1] record table + pair prefix (~30 KB).
+    # That flow costs ~10-15 ms extra device time, so it is a pure loss
+    # on a healthy link (measured 35k -> 21k reads/s) — hence adaptive,
+    # not default.  METABULI_DEVICE_ASSIGN=0/1 pins either flow.
+    # Detector: MEDIAN of the last _SYNC_MIN_SAMPLES blocking-sync
+    # times (a mean/EMA misfires on the one-off compile+upload stall of
+    # the first batch, whose ~100 s sample would dominate any decay).
+    _SYNC_SWITCH_S = 0.05
+    _SYNC_MIN_SAMPLES = 12
+
+    def _note_sync(self, dt: float):
+        hist = getattr(self, "_sync_hist", None)
+        if hist is None:
+            from collections import deque
+
+            hist = self._sync_hist = deque(maxlen=self._SYNC_MIN_SAMPLES)
+        hist.append(dt)
+
+    def _maybe_switch_device_assign(self):
+        hist = getattr(self, "_sync_hist", ())
+        if (getattr(self, "_device_assign", False)
+                or not getattr(self, "_da_auto_ok", False)
+                or len(hist) < self._SYNC_MIN_SAMPLES):
+            return
+        med = sorted(hist)[len(hist) // 2]
+        if med < self._SYNC_SWITCH_S:
+            return
+        import sys as _sys
+
+        print(f"# degraded D2H link detected (median blocking sync "
+              f"{med * 1e3:.0f} ms over {len(hist)} fetches) — switching "
+              f"to the device-assign flow", file=_sys.stderr)
+        self._device_assign = True
+        self._da_auto_ok = False
+
     # software-pipeline depth per phase: how many batches sit between a
     # dispatch and its phase-1 finish (and between phase 1 and phase 2).
     # Each blocking device->host fetch pays a ~32 ms round trip through
@@ -1949,6 +2023,7 @@ class Classifier:
         pend1: deque = deque()   # dispatched, awaiting phase 1
         pend2: deque = deque()   # phase-1 done, awaiting phase 2
         for names, a1, l1, a2, l2 in batches:
+            self._maybe_switch_device_assign()
             ctx = self._dispatch_batch(names, a1, l1, a2, l2)
             while len(pend2) >= depth:
                 res = self._finish_complete(pend2.popleft())

@@ -535,21 +535,30 @@ def _lca_pair_lift(a, b, depth, lift):
 
 
 @functools.partial(jax.jit, static_argnames=("dna_shift", "n_quot",
-                                             "part_w"))
+                                             "part_w", "out_w"))
 def redundancy_counts(sel, species, ham, ef, q_pos, q_sids,
                       best_sp_per_read, euler, depth, lift,
-                      dna_shift: int, n_quot: int, part_w: tuple = ()):
+                      dna_shift: int, n_quot: int, part_w: tuple = (),
+                      out_w: int = 0):
     """Jitted standalone wrapper of _redundancy_core (used when the host
-    computes best_sp; fused_step_full inlines the core instead)."""
+    computes best_sp; fused_step_full inlines the core instead).
+
+    out_w > 0 compacts the (rid, lca) pairs into a fixed small prefix
+    [2, 1+out_w] instead of the full [2, 1+B*n_quot] buffer — the pair
+    fetch is the pipeline's per-batch D2H tail, so a right-sized prefix
+    cuts the blocking transfer ~10x when the tunnel degrades.  The true
+    pair count still rides in the stats column; count > out_w means
+    rows were dropped and the caller re-runs with a doubled width."""
     return _redundancy_core(sel, species, ham, ef, q_pos, q_sids,
                             best_sp_per_read, euler, depth, lift,
                             dna_shift=dna_shift, n_quot=n_quot,
-                            part_w=part_w)
+                            part_w=part_w, out_w=out_w)
 
 
 def _redundancy_core(sel, species, ham, ef, q_pos, q_sids,
                      best_sp_per_read, euler, depth, lift,
-                     dna_shift: int, n_quot: int, part_w: tuple = ()):
+                     dna_shift: int, n_quot: int, part_w: tuple = (),
+                     out_w: int = 0):
     """Phase 2 on device: best-species redundancy filter + grouped LCA.
 
     Groups each read's best-species matches by query pos // dna_shift,
@@ -619,7 +628,7 @@ def _redundancy_core(sel, species, ham, ef, q_pos, q_sids,
 
     rid = jnp.arange(n_groups, dtype=I32) // n_quot + 1
     cols = jnp.stack([rid, lca.astype(I32)])
-    packed, count = dp_jax.compact_columns(cols, gvalid)
+    packed, count = dp_jax.compact_columns(cols, gvalid, out_width=out_w)
     # stats as header column 0 (see fused_step_dp): one host fetch
     stats = jnp.stack([count, jnp.sum(sel2).astype(I32)])
     return jnp.concatenate([stats[:, None], packed], axis=1)

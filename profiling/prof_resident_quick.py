@@ -38,6 +38,9 @@ def main():
     clf._path_block = 16
     clf._path_width = 1 << 16
     clf._path_estimate = 28672
+    import os as _os
+    pw = _os.environ.get("PRQ_PAIR_WIDTH")
+    if pw: clf._pair_width = int(pw)
 
     names = [f"r{i}" for i in range(bench.BATCH)]
     lens = np.full(bench.BATCH, bench.READ_LEN, dtype=np.int32)
@@ -62,6 +65,7 @@ def main():
               file=sys.stderr)
         print("# " + clf.timer.report().replace("\n", "\n# "),
               file=sys.stderr)
+        print(f"# pair_width now {clf._pair_width}", file=sys.stderr)
         clf.timer = StageTimer()
 
 
