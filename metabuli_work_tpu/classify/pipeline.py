@@ -156,19 +156,28 @@ class Classifier:
         self._init_from_index(load_index(db_dir), params, mesh=mesh)
 
     @classmethod
-    def from_memory(cls, index: KmerIndex, params: ClassifyParams, mesh=None):
-        """Wire a Classifier around an in-memory index (no disk round-trip)."""
+    def from_memory(cls, index: KmerIndex, params: ClassifyParams, mesh=None,
+                    device_donor=None):
+        """Wire a Classifier around an in-memory index (no disk round-trip).
+
+        device_donor: an existing resident Classifier over the SAME
+        index — its device-resident arrays (quad rows, hash table,
+        taxonomy tables) are shared instead of re-uploaded, so a second
+        Classifier with different ClassifyParams (e.g. another seq-mode)
+        costs no HBM and no H2D transfer."""
         self = cls.__new__(cls)
         self.db_dir = None
-        self._init_from_index(index, params, mesh=mesh)
+        self._init_from_index(index, params, mesh=mesh,
+                              device_donor=device_donor)
         return self
 
     def _init_from_index(self, index: KmerIndex, params: ClassifyParams,
-                         mesh=None):
+                         mesh=None, device_donor=None):
         import jax.numpy as jnp
 
         self.params = params
         self.index = index
+        self._device_donor = device_donor
         self.taxonomy = self.index.taxonomy
         meta = self.index.meta
         self.kmer_format = int(meta.get("kmer_format", 2))
@@ -351,7 +360,6 @@ class Classifier:
             self.ef_node = jnp.asarray(ef.astype(np.int32))
             self._device_assign = False   # host-scoring flow when streaming
             self._combine_k = 8
-            self._warn_two_tier("DB-range streaming")
             return
         if self.mesh is not None:
             # metamer-range index shards (AA-boundary cuts) + per-shard
@@ -404,7 +412,6 @@ class Classifier:
             self._combine_k = 8
             self._sharded_cache: dict = {}
             self._sharded_red_cache: dict = {}
-            self._warn_two_tier("mesh-sharded")
             return
         # resident single-chip index: 64-byte block rows (4 entries per
         # row) — wider gather rows run ~2x the bytes/s of entry rows on
@@ -433,7 +440,18 @@ class Classifier:
         mc = int(mc_env) if mc_env is not None else 1
         cap_b = int(float(os.environ.get("METABULI_HASH_GB", "3"))
                     * (1 << 30))
-        if self._wide:
+        device_donor = getattr(self, "_device_donor", None)
+        if (device_donor is not None and getattr(device_donor, "_wide", False)
+                and device_donor.index is self.index):
+            # share the donor's device-resident index (same content,
+            # same geometry) — no second multi-GB upload
+            self._wide = True
+            self._aligned = False
+            starts_pad = None
+            for attr in ("db_quad", "hash_table", "hash_log2_rows",
+                         "hash_chain", "db_m"):
+                setattr(self, attr, getattr(device_donor, attr))
+        elif self._wide:
             self._aligned = False
             starts_pad = None
             # pack once per DB, mmap ever after (index/packed_cache.py):
@@ -519,31 +537,6 @@ class Classifier:
         # (_maybe_switch_device_assign); pinned flows opt out
         self._da_auto_ok = env_da is None and not p.em
         self._combine_k = 8
-        # two-tier candidate window (docs/PERF_NOTES.md lever 1):
-        # 1-block window for all queries + compacted side gather for the
-        # rare long-run queries.  SUPERSEDED by the 512-byte-row wide
-        # probe (the window is ~2 gather ops at any cap there, and
-        # gather cost is per-op, not per-byte — prof_fused_bisect.py
-        # measured two-tier a wash on v5e); kept for the narrow block
-        # layout, opt-in via METABULI_TWO_TIER=1.
-        self._two_tier = (os.environ.get("METABULI_TWO_TIER") == "1"
-                          and getattr(self, "_aligned", False)
-                          and not self._wide)
-
-    def _warn_two_tier(self, flow: str):
-        """The two-tier candidate window only exists in the single-chip
-        resident flows; tell the user when they explicitly asked for it
-        in a flow that cannot honor it (results stay correct either
-        way — single-tier is the exact semantics)."""
-        import os
-        import warnings
-
-        if os.environ.get("METABULI_TWO_TIER") == "1":
-            warnings.warn(
-                f"METABULI_TWO_TIER=1 has no effect in the {flow} flow; "
-                "the two-tier window applies only to single-chip "
-                "resident classify", stacklevel=3)
-
     # ------------------------------------------------------------------ #
     def _read_batches(self, path1, path2=None) -> Iterator[tuple]:
         """Yield (names, seqs1, seqs2|None) lists of batch_size reads."""
@@ -705,8 +698,7 @@ class Classifier:
             self._width_lo_streak = 0
 
     def _dispatch_batch_dp(self, names, a1, l1, a2=None, l2=None, cap=None,
-                           path_width=None, win_frac=None, path_block=None,
-                           two_tier=None):
+                           path_width=None, win_frac=None, path_block=None):
         if self.mesh is not None:
             return self._dispatch_batch_dp_sharded(
                 names, a1, l1, a2, l2, cap=cap, path_width=path_width,
@@ -718,8 +710,6 @@ class Classifier:
         from ..models.flagship import fused_step_dp
 
         B = len(names)
-        if two_tier is None:
-            two_tier = getattr(self, "_two_tier", False)
         cap = cap or self.cap
         path_width = path_width or self._path_width
         win_frac = win_frac or self._win_frac
@@ -744,7 +734,6 @@ class Classifier:
                 hash_chain=self.hash_chain,
                 db_m=self.db_m,
                 aligned=getattr(self, '_aligned', False),
-                two_tier=two_tier,
             )
             # column 0 is the stats header; one async copy carries both
             # the stats and the estimated path prefix home
@@ -763,7 +752,7 @@ class Classifier:
                                  self.smer_len, win_frac)
         return {
             "dp": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
-            "a1": a1, "a2": a2, "two_tier": two_tier,
+            "a1": a1, "a2": a2,
             "paths": packed_hdr, "prefix": prefix, "est": est,
             "resident": resident, "n_quot": n_quot, "part_w": part_w,
         }
@@ -930,14 +919,12 @@ class Classifier:
         # condition is rechecked after each retry — a later retry can in
         # principle re-trigger an earlier overflow class.
         eff_wf = None                            # None -> self._win_frac
-        eff_tt = ctx.get("two_tier", False)
         eff_cap = ctx["cap"]
         while True:
             def redisp():
                 return self._dispatch_batch_dp(
                     ctx["names"], ctx["a1"], ctx["l1"], ctx["a2"],
-                    ctx["l2"], cap=eff_cap, win_frac=eff_wf,
-                    two_tier=eff_tt)
+                    ctx["l2"], cap=eff_cap, win_frac=eff_wf)
 
             # window-compaction overflow (a row had more syncmer anchors
             # than the compacted width): widen permanently, re-run
@@ -945,11 +932,6 @@ class Classifier:
             if int(st[2]) > 0:
                 self._win_frac = min(self._win_frac + 24, 256)
                 eff_wf = 256
-            # two-tier overflow (more long-run queries than side slots,
-            # or a run beyond cap): K is not an escalating knob — re-run
-            # this batch single-tier (the cap check below then applies)
-            elif eff_tt and int(st[0]) > 0:
-                eff_tt = False
             # candidate-cap overflow: doubled sticky cap
             elif int(st[0]) > 0 and eff_cap < self._cap_ceiling:
                 eff_cap = min(eff_cap * 2, self._cap_ceiling)
@@ -970,7 +952,7 @@ class Classifier:
                 import sys as _sys
 
                 print(f"# retry st={st.tolist()} -> cap={eff_cap} "
-                      f"wf={eff_wf} tt={eff_tt} pw={self._path_width} "
+                      f"wf={eff_wf} pw={self._path_width} "
                       f"pb={self._path_block} wfrac={self._win_frac}",
                       file=_sys.stderr)
             ctx = redisp()
@@ -1478,12 +1460,10 @@ class Classifier:
     # device program; host only decodes per-read records)
     def _dispatch_batch_full(self, names, a1, l1, a2=None, l2=None, cap=None,
                              path_width=None, win_frac=None, path_block=None,
-                             combine_k=None, two_tier=None):
+                             combine_k=None):
         from ..models.flagship import fused_step_full, part_widths
 
         B = len(names)
-        if two_tier is None:
-            two_tier = getattr(self, "_two_tier", False)
         cap = cap or self.cap
         path_width = path_width or self._path_width
         win_frac = win_frac or self._win_frac
@@ -1519,7 +1499,7 @@ class Classifier:
                 hash_log2_rows=self.hash_log2_rows,
                 hash_chain=self.hash_chain, db_m=self.db_m,
                 aligned=getattr(self, "_aligned", False),
-                two_tier=two_tier)
+                )
             for arr in (records, packed2):
                 try:
                     arr.copy_to_host_async()
@@ -1528,7 +1508,7 @@ class Classifier:
         return {
             "full": True, "names": names, "l1": l1, "l2": l2, "cap": cap,
             "a1": a1, "a2": a2, "path_width": path_width,
-            "records": records, "pairs": packed2, "two_tier": two_tier,
+            "records": records, "pairs": packed2,
         }
 
     def _finish_full_phase1(self, ctx):
@@ -1542,14 +1522,11 @@ class Classifier:
         # recheck-all retry ladder carrying effective knobs (see
         # _finish_dp_phase1 for the rationale)
         eff_wf = None
-        eff_tt = ctx.get("two_tier", False)
         eff_cap = ctx["cap"]
         while True:
             if int(st[2]) > 0:                   # window compaction
                 self._win_frac = min(self._win_frac + 24, 256)
                 eff_wf = 256
-            elif eff_tt and int(st[0]) > 0:      # two-tier -> single-tier
-                eff_tt = False
             elif int(st[0]) > 0 and eff_cap < self._cap_ceiling:
                 eff_cap = min(eff_cap * 2, self._cap_ceiling)
                 self.cap = max(self.cap, eff_cap)
@@ -1564,7 +1541,7 @@ class Classifier:
                 break
             ctx = self._dispatch_batch_full(
                 ctx["names"], ctx["a1"], ctx["l1"], ctx["a2"], ctx["l2"],
-                cap=eff_cap, win_frac=eff_wf, two_tier=eff_tt)
+                cap=eff_cap, win_frac=eff_wf)
             rec = np.asarray(ctx["records"])
             st = rec[:5, 0]
 

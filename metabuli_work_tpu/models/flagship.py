@@ -102,8 +102,7 @@ def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   dp_pallas: bool = False, pallas_interpret: bool = False,
                   hash_table=None, hash_log2_rows: int = 0,
                   hash_chain: int = 0, probe_fn=None, db_m: int = None,
-                  aligned: bool = False,
-                  two_tier: bool = False):
+                  aligned: bool = False):
     """Full device pipeline WITH on-device path DP.
 
     extract (+mate2) -> probe -> per-window candidate sort -> path DP ->
@@ -144,7 +143,7 @@ def _fused_core(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                                          hash_table=hash_table,
                                          hash_log2_rows=hash_log2_rows,
                                          hash_chain=hash_chain, db_m=db_m,
-                                         aligned=aligned, two_tier=two_tier)
+                                         aligned=aligned)
     # compact 5-column path layout when every 16-bit field provably
     # fits (g < 2^16, end+26 < 2^16, path hamming < 2^16); long-read
     # chunks beyond 16 kb keep the 7-column layout
@@ -387,7 +386,7 @@ def finish_stream_step(acc_sel, acc_ham, acc_rh, acc_tax, acc_sp, acc_dna,
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
     "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
     "path_block", "dp_pallas", "pallas_interpret", "hash_log2_rows",
-    "hash_chain", "db_m", "aligned", "two_tier"))
+    "hash_chain", "db_m", "aligned"))
 def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   min_cons_euk: int = 9,
                   cap: int = 16, kmer_format: int = 2,
@@ -400,8 +399,7 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
                   dp_pallas: bool = False, pallas_interpret: bool = False,
                   hash_table=None, hash_log2_rows: int = 0,
                   hash_chain: int = 0, db_m: int = None,
-                  aligned: bool = False,
-                  two_tier: bool = False):
+                  aligned: bool = False):
     """Host-scoring variant: see _fused_core.  Returns (packed_hdr,
     resident) — column 0 of packed_hdr is the stats header (rows 0-3 =
     candidate-cap overflow, path count, window-compaction overflow,
@@ -419,7 +417,7 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
         path_block=path_block, ra1=ra1, ra2=ra2, dp_pallas=dp_pallas,
         pallas_interpret=pallas_interpret, hash_table=hash_table,
         hash_log2_rows=hash_log2_rows, hash_chain=hash_chain, db_m=db_m,
-        aligned=aligned, two_tier=two_tier)
+        aligned=aligned)
     hdr = jnp.zeros((paths_packed.shape[0], 1), jnp.int32)
     hdr = hdr.at[:4, 0].set(stats)
     packed_hdr = jnp.concatenate([hdr, paths_packed], axis=1)
@@ -430,7 +428,7 @@ def fused_step_dp(reads1, lens1, reads2, lens2, db_quad, min_cons: int = 4,
     "min_cons", "min_cons_euk", "cap", "kmer_format", "syncmer", "smer_len",
     "paired", "bucket_shift", "bucket_steps", "path_width", "win_frac",
     "path_block", "dp_pallas", "pallas_interpret", "hash_log2_rows",
-    "hash_chain", "db_m", "aligned", "two_tier",
+    "hash_chain", "db_m", "aligned",
     "min_score", "tie_ratio", "combine_k", "dna_shift", "n_quot", "part_w"))
 def fused_step_full(reads1, lens1, reads2, lens2, db_quad,
                     ef_node, euler, depth, lift,
@@ -447,8 +445,7 @@ def fused_step_full(reads1, lens1, reads2, lens2, db_quad,
                     combine_k: int = 8, dna_shift: int = 0, n_quot: int = 0,
                     part_w: tuple = (), hash_table=None,
                     hash_log2_rows: int = 0, hash_chain: int = 0,
-                    db_m: int = None, aligned: bool = False,
-                  two_tier: bool = False):
+                    db_m: int = None, aligned: bool = False):
     """Whole-batch device chain: fused step + species assign + redundancy.
 
     Device->host traffic shrinks from the full path array (~0.5 MB) to
@@ -473,7 +470,7 @@ def fused_step_full(reads1, lens1, reads2, lens2, db_quad,
         path_block=path_block, ra1=ra1, ra2=ra2, dp_pallas=dp_pallas,
         pallas_interpret=pallas_interpret, hash_table=hash_table,
         hash_log2_rows=hash_log2_rows, hash_chain=hash_chain, db_m=db_m,
-        aligned=aligned, two_tier=two_tier)
+        aligned=aligned)
 
     B = reads1.shape[0]
     qlens = jnp.zeros(B + 1, jnp.int32)

@@ -409,7 +409,6 @@ def match_kmers_quad(
     hash_chain: int = 0,
     db_m: int = None,
     aligned: bool = False,
-    two_tier: bool = False,
 ):
     """Probe a u32-quad-packed DB (see pack_db_quad) — cap-MAJOR layout.
 
@@ -426,17 +425,6 @@ def match_kmers_quad(
     their own way, e.g. the run-count search) — skips _bucket_search.
     hash_table: build_aa_hash output — resolves run starts with `chain`
     row gathers instead of 1 + `bucket_steps` chained gathers.
-
-    two_tier (needs hash run lengths + aligned block rows + cap > 4):
-    nearly all AA runs are short, but ONE long run escalates the
-    adaptive cap for every query — so gather a 1-block (4-entry)
-    window for ALL queries, then compact the rare queries with
-    rlen > 4 into K = max(256, ceil(N/8)) side slots and gather their
-    remaining cap/4 − 1 blocks only there.  Bytes per query drop from
-    cap/4 blocks to ~1 + (cap/4−1)·K/N.  Overflow (count of long-run
-    queries > K, or rlen > cap) raises the usual retry counter; the
-    caller's retry path MUST re-dispatch with two_tier=False (K is
-    not an escalating knob).
     """
     U32 = jnp.uint32
     if db_quad.shape[1] == 128:
@@ -466,38 +454,10 @@ def match_kmers_quad(
     # with run lengths from the hash, overflow is known from the lookup
     # and the candidate window shrinks to exactly cap entries; without
     # them the window keeps a cap+1'th sentinel entry for the check
-    two_tier = (two_tier and rlen is not None and aligned and cap > 4
-                and cap % 4 == 0 and db_quad.shape[1] == 16)
     win = cap if rlen is not None else cap + 1
     offs = jnp.arange(win, dtype=jnp.int32)[:, None]
     pos = lo[None, :] + offs
-    flag_col = None
-    if two_tier:
-        n = lo.shape[0]
-        K = max(256, -(-n // 8))
-        t1 = _gather_blocks(db_quad, lo, 4, aligned=True)   # [4, N, 4]
-        flagged = q_valid & (rlen > 4) & (lo < M)
-        # rank of each flagged query among flagged queries: the K-slot
-        # side buffer is indexed by RANK, so the merge back to [N]
-        # columns is a monotone rank-indexed gather from a ~5 MB buffer
-        # instead of a [K -> N] scatter + dense zero buffer (the scatter
-        # variant REGRESSED the full bench 2x on v5e, 2026-08-21 —
-        # docs/PERF_NOTES.md)
-        inv = jnp.cumsum(flagged.astype(jnp.int32)) - 1     # [N]
-        idx = jnp.nonzero(flagged, size=K, fill_value=n)[0]
-        idxc = jnp.minimum(idx, n - 1).astype(jnp.int32)
-        lo2 = lo[idxc]
-        R = db_quad.shape[0]
-        b0 = (lo2 >> 2) + 1
-        nblk2 = cap // 4 - 1
-        blocks = [db_quad[jnp.clip(b0 + k, 0, R - 1)].reshape(K, 4, 4)
-                  for k in range(nblk2)]
-        ent2 = jnp.concatenate(blocks, axis=1)              # [K, cap-4, 4]
-        t2 = ent2[jnp.clip(inv, 0, K - 1)]                  # [N, cap-4, 4]
-        t_quad = jnp.concatenate([t1, jnp.moveaxis(t2, 0, 1)], axis=0)
-        flag_col = flagged & (inv < K)
-        beyond_k = flagged & (inv >= K)
-    elif db_quad.shape[1] == 128:
+    if db_quad.shape[1] == 128:
         # 512-byte rows (32 entries, pack_db_rows32): the fast path —
         # per-op gather cost is ~flat in row width and drops 6x at the
         # full 128-lane row (prof_gather_width.py), so the whole window
@@ -523,17 +483,7 @@ def match_kmers_quad(
     q_low8 = (q_aa & _U64(0xFF)).astype(U32)
     cmask = (v_hi == q_hi[None, :]) & ((v_lo >> U32(24)) == q_low8[None, :]) \
         & (pos < M) & q_valid[None, :]
-    if two_tier:
-        # rows >= 4 hold real data only for compacted long-run columns;
-        # elsewhere they are zeros that could alias tiny AA parts
-        cmask = cmask & ((offs < 4) | flag_col[None, :])
-        cmask = cmask & (offs < rlen[None, :])
-        # each overflowing query counts ONCE: run beyond cap, or flagged
-        # but landing past the K side slots — keeps the count comparable
-        # with the single-tier semantics
-        overflow = jnp.sum((q_valid & (rlen > cap)) | beyond_k) \
-            .astype(jnp.int32)
-    elif rlen is not None:
+    if rlen is not None:
         cmask = cmask & (offs < rlen[None, :])
         overflow = jnp.sum(q_valid & (rlen > cap)).astype(jnp.int32)
     else:

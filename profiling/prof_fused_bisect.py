@@ -1,11 +1,11 @@
 """Stage bisect of the fused step with TRUSTWORTHY timing (D2H-forced;
-block_until_ready is a no-op on the axon backend — see prof_two_tier).
+block_until_ready is a no-op on the axon backend.
 
 Stages, each as its own jit program returning cheap reductions of every
 live output (so DCE cannot delete the work being measured):
 
   extract        6-frame encode + syncmer window compaction
-  probe(tt=0/1)  extract + hash probe + candidate window + hamming
+  probe          extract + hash probe + candidate window + hamming
   sort           extract + probe + per-window candidate rank sort
   full(xla)      whole fused_step_dp with the XLA path DP
   full(pallas)   whole fused_step_dp with the compiled Pallas DP
@@ -66,13 +66,13 @@ def main():
         qk, qp, qf, qs, qv, wo = extract(r1)
         return qk.sum() + qp.sum().astype(jnp.uint64) + qv.sum()
 
-    @functools.partial(jax.jit, static_argnames=("tt",))
-    def s_probe(r1, dbq, ht, tt):
+    @jax.jit
+    def s_probe(r1, dbq, ht):
         qk, qp, qf, qs, qv, wo = extract(r1)
         out = match_jax.match_kmers_quad(
             qk, qf, qv, dbq, cap=cap, kmer_format=2, hash_table=ht,
             hash_log2_rows=clf.hash_log2_rows, hash_chain=clf.hash_chain,
-            db_m=clf.db_m, aligned=True, two_tier=tt)
+            db_m=clf.db_m, aligned=True)
         return sum(v.sum(dtype=jnp.int32) if v.dtype != bool
                    else v.sum(dtype=jnp.int32) for v in out.values())
 
@@ -82,7 +82,7 @@ def main():
         out = match_jax.match_kmers_quad(
             qk, qf, qv, dbq, cap=cap, kmer_format=2, hash_table=ht,
             hash_log2_rows=clf.hash_log2_rows, hash_chain=clf.hash_chain,
-            db_m=clf.db_m, aligned=True, two_tier=False)
+            db_m=clf.db_m, aligned=True)
         n = qk.shape[0]
         BF = B.BATCH * 6
         W = n // BF
@@ -105,7 +105,7 @@ def main():
             path_width=1 << 16, win_frac=184, path_block=16,
             dp_pallas=pallas, pallas_interpret=False, hash_table=ht,
             hash_log2_rows=clf.hash_log2_rows, hash_chain=clf.hash_chain,
-            db_m=clf.db_m, aligned=True, two_tier=False)
+            db_m=clf.db_m, aligned=True)
         return hdr
 
     def bench_one(name, fn, n=16):
@@ -120,8 +120,7 @@ def main():
         return ms
 
     bench_one("extract", lambda r1: s_extract(r1))
-    bench_one("probe tt0", lambda r1: s_probe(r1, ddev, hdev, tt=False))
-    bench_one("probe tt1", lambda r1: s_probe(r1, ddev, hdev, tt=True))
+    bench_one("probe", lambda r1: s_probe(r1, ddev, hdev))
     bench_one("sort", lambda r1: s_sort(r1, ddev, hdev))
     bench_one("full xla-dp", lambda r1: s_full(r1, ddev, hdev, False))
     bench_one("full pallas", lambda r1: s_full(r1, ddev, hdev, True))

@@ -15,5 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# METABULI_TEST_TPU=1 leaves the real TPU backend in place so the golden
+# suites can run against the chip (bench.py's full-matrix TPU golden job,
+# VERDICT r4 missing #2).  Mesh/sharding tests need the 8 virtual CPU
+# devices and are not part of that job.
+if os.environ.get("METABULI_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -117,3 +117,25 @@ def test_env_pin_disables_auto_switch(db, monkeypatch):
                             batch_size=8)
     clf = Classifier(str(db_dir), params)
     assert not clf._da_auto_ok and not clf._device_assign
+
+
+def test_device_donor_shares_index(db):
+    """from_memory(device_donor=...) must reuse the donor's device
+    arrays (no second upload) and classify identically."""
+    db_dir, reads = db
+    from metabuli_work_tpu.index.format import load_index
+
+    index = load_index(str(db_dir))
+    p1 = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
+                        batch_size=8)
+    from metabuli_work_tpu.classify.pipeline import Classifier as C
+
+    clf0 = C.from_memory(index, p1)
+    want = [_res(q) for q in clf0.classify_file(str(reads))]
+    p2 = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
+                        batch_size=16)
+    clf1 = C.from_memory(index, p2, device_donor=clf0)
+    assert clf1.db_quad is clf0.db_quad
+    assert clf1.hash_table is clf0.hash_table
+    got = [_res(q) for q in clf1.classify_file(str(reads))]
+    assert got == want

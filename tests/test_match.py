@@ -158,9 +158,10 @@ def _mixed_run_db(rng, n_aa=60, max_run=16):
     return np.array(values, dtype=np.uint64)
 
 
-def test_two_tier_equals_single_tier():
-    """two_tier=True must reproduce the single-tier probe exactly on a
-    DB with mixed AA-run lengths (1..16, many > 4)."""
+def test_wide_rows_unaligned_equal_direct():
+    """512-byte-row probe with UNALIGNED run starts (r5) must equal the
+    plain direct-indexed probe on a DB with mixed AA-run lengths —
+    covers every in-row offset 0..31 of the two-level window select."""
     import jax.numpy as jnp
 
     from metabuli_work_tpu.ops import match_jax
@@ -170,11 +171,10 @@ def test_two_tier_equals_single_tier():
     m = len(values)
     ef = rng.integers(0, 1 << 20, size=m).astype(np.uint32)
     sp = rng.integers(1, 1 << 10, size=m).astype(np.uint32)
-    v_pad, ef_pad, sp_pad, starts_pad = match_jax.align_runs4(values, ef, sp)
-    blk = jnp.asarray(match_jax.pack_db_blocks(
-        match_jax.pack_db_quad(v_pad, ef_pad, sp_pad)))
-    ht, log2_rows, chain = match_jax.build_aa_hash(
-        values, starts_override=starts_pad)
+    quad = match_jax.pack_db_quad(values, ef, sp)
+    wide = jnp.asarray(match_jax.pack_db_rows32(quad))
+    ht, log2_rows, chain = match_jax.build_aa_hash(values, slots=42,
+                                                   row_u32=128)
     ht = jnp.asarray(ht)
 
     # queries: mostly hits (perturbed dna), some misses
@@ -194,48 +194,13 @@ def test_two_tier_equals_single_tier():
     valid = jnp.asarray(valid)
 
     kw = dict(cap=16, kmer_format=2, hash_table=ht,
-              hash_log2_rows=log2_rows, hash_chain=chain,
-              db_m=len(v_pad), aligned=True)
-    ref = match_jax.match_kmers_quad(q, frames, valid, blk,
-                                     two_tier=False, **kw)
-    got = match_jax.match_kmers_quad(q, frames, valid, blk,
-                                     two_tier=True, **kw)
+              hash_log2_rows=log2_rows, hash_chain=chain, db_m=m)
+    got = match_jax.match_kmers_quad(q, frames, valid, wide, **kw)
+    ref = match_jax.match_kmers_quad(q, frames, valid, jnp.asarray(quad),
+                                     **kw)
+    sel = np.asarray(ref["sel"])
     for k in ("sel", "hamming", "rh", "taxid", "species"):
         a, b = np.asarray(ref[k]), np.asarray(got[k])
-        sel = np.asarray(ref["sel"])
-        # compare where selected (unselected slots may differ freely)
         assert (a[sel] == b[sel]).all(), k
-    assert (np.asarray(ref["sel"]) == np.asarray(got["sel"])).all()
-    assert int(np.asarray(ref["overflow"])) == 0
-    assert int(np.asarray(got["overflow"])) == 0
-
-
-def test_two_tier_k_overflow_reported():
-    """More long-run queries than side slots must raise the retry
-    counter (the caller then re-runs single-tier)."""
-    import jax.numpy as jnp
-
-    from metabuli_work_tpu.ops import match_jax
-
-    rng = np.random.default_rng(29)
-    # one long run (8 entries)
-    aa = np.uint64(998877)
-    values = np.array([(aa << np.uint64(24)) | np.uint64(d)
-                       for d in range(8)], dtype=np.uint64)
-    ef = np.zeros(8, np.uint32)
-    sp = np.ones(8, np.uint32)
-    v_pad, ef_pad, sp_pad, starts_pad = match_jax.align_runs4(values, ef, sp)
-    blk = jnp.asarray(match_jax.pack_db_blocks(
-        match_jax.pack_db_quad(v_pad, ef_pad, sp_pad)))
-    ht, log2_rows, chain = match_jax.build_aa_hash(
-        values, starts_override=starts_pad)
-    # 300 queries ALL hitting the long run: K = max(256, ceil(300/8)) =
-    # 256 < 300 flagged -> overflow = 44
-    q = jnp.asarray(np.full(300, (aa << np.uint64(24)) | np.uint64(3),
-                            dtype=np.uint64))
-    out = match_jax.match_kmers_quad(
-        q, jnp.zeros(300, jnp.int32), jnp.ones(300, bool), blk,
-        cap=8, kmer_format=2, hash_table=jnp.asarray(ht),
-        hash_log2_rows=log2_rows, hash_chain=chain,
-        db_m=len(v_pad), aligned=True, two_tier=True)
-    assert int(np.asarray(out["overflow"])) == 300 - 256
+    assert (sel == np.asarray(got["sel"])).all()
+    assert int(np.asarray(ref["overflow"])) == int(np.asarray(got["overflow"]))
