@@ -41,9 +41,9 @@ FALLBACK_REFERENCE_READS_PER_SEC = 10_000.0   # used only if the binary is absen
 N_GENOMES = 8
 GENOME_LEN = 13_000_000   # 104 Mb total -> ~100M syncmer metamers
 N_READS = 49152
-N_WARM = 3072          # unmeasured reads: compile + estimate stabilization
 READ_LEN = 150
 BATCH = int(os.environ.get("METABULI_BENCH_BATCH", "1024"))
+N_WARM = 3 * BATCH     # unmeasured reads: compile + estimate stabilization
 N_STREAM_READS = 8192  # streaming-mode measurement slice
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -608,8 +608,10 @@ def main():
     # by profiling/prof_gather_width.py: ~28 GB/s of random 512 B rows.
     from metabuli_work_tpu.models.flagship import part_widths
 
+    from metabuli_work_tpu.classify.pipeline import _bucket_len
+
     part_w = part_widths(
-        ((READ_LEN + 127) // 128) * 128, 96, False, clf.syncmer,
+        _bucket_len(READ_LEN), 96, False, clf.syncmer,
         clf.kmer_format, clf.smer_len, clf._win_frac)
     n_slots = sum(part_w) * BATCH
     n_gathers = clf.hash_chain + 2

@@ -72,7 +72,7 @@ def main():
         out = match_jax.match_kmers_quad(
             qk, qf, qv, dbq, cap=cap, kmer_format=2, hash_table=ht,
             hash_log2_rows=clf.hash_log2_rows, hash_chain=clf.hash_chain,
-            db_m=clf.db_m, aligned=True)
+            db_m=clf.db_m)
         return sum(v.sum(dtype=jnp.int32) if v.dtype != bool
                    else v.sum(dtype=jnp.int32) for v in out.values())
 
@@ -82,7 +82,7 @@ def main():
         out = match_jax.match_kmers_quad(
             qk, qf, qv, dbq, cap=cap, kmer_format=2, hash_table=ht,
             hash_log2_rows=clf.hash_log2_rows, hash_chain=clf.hash_chain,
-            db_m=clf.db_m, aligned=True)
+            db_m=clf.db_m)
         n = qk.shape[0]
         BF = B.BATCH * 6
         W = n // BF
@@ -105,7 +105,7 @@ def main():
             path_width=1 << 16, win_frac=184, path_block=16,
             dp_pallas=pallas, pallas_interpret=False, hash_table=ht,
             hash_log2_rows=clf.hash_log2_rows, hash_chain=clf.hash_chain,
-            db_m=clf.db_m, aligned=True)
+            db_m=clf.db_m)
         return hdr
 
     def bench_one(name, fn, n=16):
