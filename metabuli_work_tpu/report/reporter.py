@@ -137,36 +137,62 @@ body{font-family:sans-serif;background:#fff;margin:0}
      padding:4px 8px;border-radius:4px;font-size:12px;display:none;z-index:9}
 path{stroke:#fff;stroke-width:.7;cursor:pointer}
 path:hover{opacity:.82}
+path.dim{opacity:.18}
 text.lbl{font-size:11px;pointer-events:none;fill:#222}
 #crumb{font-size:13px;padding:6px 12px;color:#444}
 #crumb span{cursor:pointer;color:#06c}
+#ctl{font-size:12px;padding:4px 12px;color:#444;display:flex;gap:14px;
+     align-items:center;flex-wrap:wrap}
+#ctl input[type=text]{width:160px}
+#hits{font-size:12px;padding:0 12px;color:#06c;max-height:60px;overflow:auto}
+#hits span{cursor:pointer;margin-right:10px}
 </style></head>
 <body><div style="display:none" id="krona"><krona>
 """
 
 _KRONA_SCRIPT = """
-<div id="crumb"></div><div id="chart"><svg id="sb" width="760" height="760"
+<div id="ctl">
+  <label>search <input type="text" id="q" placeholder="taxon name"></label>
+  <label>collapse &lt; <select id="thr">
+    <option value="0">off</option><option value="0.001" selected>0.1%</option>
+    <option value="0.005">0.5%</option><option value="0.01">1%</option>
+    <option value="0.05">5%</option></select></label>
+  <label>depth <select id="dep">
+    <option>3</option><option>5</option><option selected>7</option>
+    <option>10</option><option>15</option></select></label>
+  <label>magnitude <select id="mag">
+    <option value="lin" selected>linear</option>
+    <option value="sqrt">sqrt</option>
+    <option value="log">log</option></select></label>
+</div>
+<div id="crumb"></div><div id="hits"></div>
+<div id="chart"><svg id="sb" width="760" height="760"
 viewBox="-380 -380 760 760"></svg><div id="legend"></div></div>
 <div id="tip"></div>
 <script>
 (function(){
 "use strict";
-function parse(el){
+function parse(el,par){
   var val=0, kids=[];
+  var n={name:el.getAttribute("name")||"?", val:0, kids:kids, par:par};
   for(var c=el.firstElementChild;c;c=c.nextElementSibling){
     if(c.tagName.toLowerCase()==="magnitude"){
       var v=c.querySelector("val"); if(v) val=+v.textContent;
-    } else if(c.tagName.toLowerCase()==="node") kids.push(parse(c));
+    } else if(c.tagName.toLowerCase()==="node") kids.push(parse(c,n));
   }
-  return {name:el.getAttribute("name")||"?", val:val, kids:kids};
+  n.val=val;
+  return n;
 }
 var rootEl=document.querySelector("#krona node");
 if(!rootEl) return;
-var root=parse(rootEl);
+var root=parse(rootEl,null);
 function hue(s){var h=0;for(var i=0;i<s.length;i++)h=(h*31+s.charCodeAt(i))>>>0;return h%360;}
 var svg=document.getElementById("sb"), tip=document.getElementById("tip"),
-    legend=document.getElementById("legend"), crumb=document.getElementById("crumb");
-var R=370, DEPTH=7, total=root.val||1, trail=[root];
+    legend=document.getElementById("legend"), crumb=document.getElementById("crumb"),
+    qEl=document.getElementById("q"), thrEl=document.getElementById("thr"),
+    depEl=document.getElementById("dep"), magEl=document.getElementById("mag"),
+    hitsEl=document.getElementById("hits");
+var R=370, total=root.val||1, trail=[root], cur=root;
 function arcPath(a0,a1,r0,r1){
   if(a1-a0>=2*Math.PI-1e-6){a1=a0+2*Math.PI-1e-6;}
   var c=function(a,r){return [r*Math.sin(a), -r*Math.cos(a)];};
@@ -176,29 +202,58 @@ function arcPath(a0,a1,r0,r1){
          "A"+r1+","+r1+" 0 "+big+" 0 "+p3+"Z";
 }
 function esc(s){return s.replace(/&/g,"&amp;").replace(/</g,"&lt;");}
+// magnitude transform: arc ANGLES only — displayed counts stay raw
+// (KronaTools' linear/sqrt/log magnitude options)
+function tf(v){
+  var m=magEl.value;
+  if(v<=0) return 0;
+  if(m==="sqrt") return Math.sqrt(v);
+  if(m==="log") return Math.log(1+v);
+  return v;
+}
+function matches(n,q){return q && n.name.toLowerCase().indexOf(q)>=0;}
 function render(node){
+  cur=node;
   var ti=trail.indexOf(node);
-  if(ti>=0){trail=trail.slice(0,ti+1);}else{trail.push(node);}
+  if(ti>=0){trail=trail.slice(0,ti+1);}
+  else if(node.par && trail[trail.length-1]===node.par){trail.push(node);}
+  else{trail=[];for(var t=node;t;t=t.par)trail.unshift(t);}
+  var DEPTH=+depEl.value, thr=+thrEl.value, q=qEl.value.trim().toLowerCase();
   var parts=[], leg=[], mag=node.val||1;
   var rw=R/(DEPTH+1);
   function rec(n,a0,a1,d,h){
     if(d>DEPTH||(a1-a0)<0.002) return;
     var hh=(h===null)?hue(n.name):h;
-    var col="hsl("+hh+","+(62-6*Math.min(d,4))+"%,"+(52+5*Math.min(d,4))+"%)";
+    var col=n.other?"hsl(0,0%,72%)":
+      "hsl("+hh+","+(62-6*Math.min(d,4))+"%,"+(52+5*Math.min(d,4))+"%)";
     parts.push({n:n,a0:a0,a1:a1,d:d,col:col});
     if(d===1) leg.push({n:n,col:col});
+    // collapse: children below thr of the CURRENT root merge into one
+    // gray "other" wedge (KronaTools' collapse threshold)
+    var kids=n.kids, small=[], big=[];
+    kids.forEach(function(k){
+      (thr>0 && k.val<thr*mag && kids.length>1 ? small : big).push(k);
+    });
+    if(small.length>1){
+      var sv=0; small.forEach(function(k){sv+=k.val;});
+      big=big.concat([{name:"other ("+small.length+" taxa)",val:sv,
+                       kids:[],par:n,other:true,members:small}]);
+    } else big=kids;
     var a=a0, sum=0;
-    n.kids.forEach(function(k){sum+=k.val;});
-    var scale=(a1-a0)/Math.max(sum,n.val,1);
-    n.kids.forEach(function(k){
-      var w=k.val*scale; rec(k,a,a+w,d+1,(d===0)?null:hh); a+=w;
+    big.forEach(function(k){sum+=tf(k.val);});
+    var rem=n.val; big.forEach(function(k){rem-=k.val;});
+    var scale=(a1-a0)/Math.max(sum+tf(Math.max(rem,0)),1e-9);
+    big.forEach(function(k){
+      var w=tf(k.val)*scale; rec(k,a,a+w,d+1,(d===0)?null:hh); a+=w;
     });
   }
   rec(node,0,2*Math.PI,0,null);
   var s="";
   parts.forEach(function(p,i){
     var r0=(p.d===0)?0:rw*p.d, r1=rw*(p.d+1)-1;
-    s+='<path d="'+arcPath(p.a0,p.a1,r0,r1)+'" fill="'+p.col+'" data-i="'+i+'"/>';
+    var dim=q&&!p.n.other&&!matches(p.n,q)?' class="dim"':'';
+    s+='<path d="'+arcPath(p.a0,p.a1,r0,r1)+'" fill="'+p.col+'"'+dim+
+       ' data-i="'+i+'"/>';
     var frac=(p.a1-p.a0)/(2*Math.PI);
     if(frac>0.04&&p.d>0&&p.d<4){
       var am=(p.a0+p.a1)/2, rm=(r0+r1)/2;
@@ -219,14 +274,18 @@ function render(node){
         (100*p.n.val/mag).toFixed(2)+"% of "+esc(node.name)+")";
     };
     el.onmouseout=function(){tip.style.display="none";};
-    el.onclick=function(){if(p.n!==node&&p.n.kids.length)render(p.n);};
+    el.onclick=function(){
+      if(p.n.other){return;}
+      if(p.n!==node&&p.n.kids.length)render(p.n);
+    };
   });
   legend.innerHTML=leg.map(function(l,i){
     return '<div data-i="'+i+'"><span style="color:'+l.col+'">&#9632;</span> '+
       esc(l.n.name)+" ("+l.n.val+")</div>";
   }).join("");
   legend.querySelectorAll("div").forEach(function(el){
-    el.onclick=function(){var t=leg[+el.dataset.i].n;if(t.kids.length)render(t);};
+    el.onclick=function(){var t=leg[+el.dataset.i].n;
+      if(!t.other&&t.kids.length)render(t);};
   });
   crumb.innerHTML=trail.map(function(t,i){
     return '<span data-i="'+i+'">'+esc(t.name)+"</span>";
@@ -234,7 +293,22 @@ function render(node){
   crumb.querySelectorAll("span").forEach(function(el){
     el.onclick=function(){render(trail[+el.dataset.i]);};
   });
+  // search hit list over the WHOLE tree, click to zoom
+  var hits=[];
+  if(q){(function walk(n){
+    if(matches(n,q)) hits.push(n);
+    if(hits.length<200) n.kids.forEach(walk);
+  })(root);}
+  hitsEl.innerHTML=hits.slice(0,30).map(function(h,i){
+    return '<span data-i="'+i+'">'+esc(h.name)+" ("+h.val+")</span>";
+  }).join("")+(hits.length>30?" &hellip;"+hits.length+" matches":"");
+  hitsEl.querySelectorAll("span").forEach(function(el){
+    el.onclick=function(){var t=hits[+el.dataset.i];
+      render(t.kids.length?t:(t.par||root));};
+  });
 }
+[thrEl,depEl,magEl].forEach(function(el){el.onchange=function(){render(cur);};});
+qEl.oninput=function(){render(cur);};
 render(root);
 })();
 </script>"""
