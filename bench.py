@@ -537,18 +537,12 @@ def main():
     reads = simulate_reads(genomes, rng)
 
     golden = None
-    golden_matrix = None
     if os.environ.get("METABULI_BENCH_NO_GOLDEN") != "1":
         try:
             golden = tpu_golden_check()
         except Exception as e:
             print(f"# golden check errored: {e!r}", file=sys.stderr)
-        if os.environ.get("METABULI_BENCH_GOLDEN_FULL", "1") == "1":
-            try:
-                golden_matrix = tpu_golden_full()
-            except Exception as e:
-                print(f"# golden full-matrix errored: {e!r}",
-                      file=sys.stderr)
+
 
     ref_rate = measure_reference(genomes, reads)
     ref_measured = ref_rate > 0
@@ -632,7 +626,7 @@ def main():
         extras.update(_bench_long(genomes, rng, index))
     stream = _bench_streaming(index, reads, names, lens, rate)
 
-    print(json.dumps({
+    out = {
         "metric": "reads_per_sec_per_chip_150bp",
         "value": round(rate, 1),
         "unit": "reads/s",
@@ -653,11 +647,24 @@ def main():
         **stream,
         "db_kmers": int(index.size),
         "golden_equal": golden,
-        "golden_matrix_tpu": (None if golden_matrix is None else
-                              {"equal": golden_matrix[0],
-                               "diff": golden_matrix[1]}),
         "capture_wall_s": round(time.time() - t_start, 1),
-    }))
+    }
+    # the measured capture prints FIRST so a driver timeout during the
+    # (long, binary-DB-building) full golden matrix cannot lose it; the
+    # matrix results then print as the final, superseding JSON line
+    print(json.dumps(out), flush=True)
+    if os.environ.get("METABULI_BENCH_NO_GOLDEN") != "1" \
+            and os.environ.get("METABULI_BENCH_GOLDEN_FULL", "1") == "1":
+        golden_matrix = None
+        try:
+            golden_matrix = tpu_golden_full()
+        except Exception as e:
+            print(f"# golden full-matrix errored: {e!r}", file=sys.stderr)
+        out["golden_matrix_tpu"] = (
+            None if golden_matrix is None else
+            {"equal": golden_matrix[0], "diff": golden_matrix[1]})
+        out["capture_wall_s"] = round(time.time() - t_start, 1)
+        print(json.dumps(out), flush=True)
 
 
 def _bench_paired(genomes, rng, index):
@@ -678,12 +685,12 @@ def _bench_paired(genomes, rng, index):
                  r2[b * BATCH:(b + 1) * BATCH], lens)
                 for b in range(nb))
 
-    clf.drive_batches(mk(2))      # compile + settle
+    clf.drive_batches(mk(3))      # compile + settle estimates
     from metabuli_work_tpu.utils.timing import StageTimer
 
     clf.timer = StageTimer()
     rate = _run_pass(clf, lambda: mk(n // BATCH), n, "paired pass")
-    return {"paired_reads_per_sec": round(rate, 1)}
+    return {"paired_pairs_per_sec": round(rate, 1)}
 
 
 def _bench_long(genomes, rng, index):
@@ -702,7 +709,7 @@ def _bench_long(genomes, rng, index):
         return ((names, reads[b * B:(b + 1) * B], lens, None, None)
                 for b in range(nb))
 
-    clf.drive_batches(mk(2))
+    clf.drive_batches(mk(3))
     from metabuli_work_tpu.utils.timing import StageTimer
 
     clf.timer = StageTimer()
