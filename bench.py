@@ -453,7 +453,8 @@ def tpu_golden_full():
     None when skipped."""
     import re
 
-    suites = ["tests/test_golden_matrix.py", "tests/test_golden_readgroup.py"]
+    suites = ["tests/test_golden_matrix.py", "tests/test_golden_readgroup.py",
+              "tests/test_golden_uniref.py"]
     env = {**os.environ, "METABULI_TEST_TPU": "1"}
     t0 = time.time()
     r = subprocess.run(
