@@ -252,7 +252,6 @@ class Classifier:
         self.timer = StageTimer()
         self._fetch_estimate = 1 << 17  # rows; adapts to observed match counts
         self._path_estimate = 1 << 14   # emitted-path rows
-        self._pairs_estimate = 1 << 12  # redundancy (rid, taxid) pair rows
         # redundancy-prefix width compacted inside the kernel (sticky
         # pow2; phase 2 re-runs wider on overflow) — bounds the blocking
         # per-batch pair fetch to ~64 KB

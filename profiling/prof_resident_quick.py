@@ -41,6 +41,8 @@ def main():
     import os as _os
     pw = _os.environ.get("PRQ_PAIR_WIDTH")
     if pw: clf._pair_width = int(pw)
+    if _os.environ.get("PRQ_FORCE_DA") == "1":
+        clf._SYNC_SWITCH_S = 0.0   # force the degraded-link flow switch
 
     names = [f"r{i}" for i in range(bench.BATCH)]
     lens = np.full(bench.BATCH, bench.READ_LEN, dtype=np.int32)
