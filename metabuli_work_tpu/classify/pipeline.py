@@ -1960,11 +1960,49 @@ class Classifier:
             return
         import sys as _sys
 
-        print(f"# degraded D2H link detected (median blocking sync "
-              f"{med * 1e3:.0f} ms over {len(hist)} fetches) — switching "
-              f"to the device-assign flow", file=_sys.stderr)
-        self._device_assign = True
-        self._da_auto_ok = False
+        # the full flow's first compile costs minutes through a degraded
+        # link — compile it in a BACKGROUND thread (jax compiles with the
+        # GIL released; the persistent cache makes the later in-loop
+        # "recompile" a disk hit) and keep the host flow flowing until
+        # it is ready, then flip atomically
+        state = getattr(self, "_da_state", "off")
+        if state == "off" and getattr(self, "_last_batch", None):
+            import threading
+
+            print(f"# degraded D2H link detected (median blocking sync "
+                  f"{med * 1e3:.0f} ms over {len(hist)} fetches) — "
+                  f"compiling the device-assign flow in the background",
+                  file=_sys.stderr)
+            self._da_state = "compiling"
+            # non-daemon ON PURPOSE: a daemon thread mid-XLA-compile at
+            # interpreter teardown aborts the process; a short-workload
+            # exit instead joins the compile (one-time — it populates
+            # the persistent cache, so the NEXT run switches instantly)
+            self._da_thread = threading.Thread(
+                target=self._compile_full_flow, args=self._last_batch)
+            self._da_thread.start()
+        elif state == "ready":
+            print("# device-assign flow ready — switching", file=_sys.stderr)
+            self._device_assign = True
+            self._da_auto_ok = False
+
+    def _compile_full_flow(self, names, a1, l1, a2, l2):
+        """Background-thread warmup of the device-assign flow: dispatch a
+        duplicate of a real batch through fused_step_full and force its
+        compile + one execution (~one extra device step on the in-order
+        queue).  No retry-ladder / sticky-knob mutation here — overflow
+        stats in the throwaway result are ignored."""
+        try:
+            ctx = self._dispatch_batch_full(names, a1, l1, a2, l2)
+            np.asarray(ctx["records"][:1, :1])
+            self._da_state = "ready"
+        except Exception as e:   # pragma: no cover - defensive
+            import sys as _sys
+
+            print(f"# device-assign background compile failed ({e!r}); "
+                  f"staying on the host flow", file=_sys.stderr)
+            self._da_state = "failed"
+            self._da_auto_ok = False
 
     # software-pipeline depth per phase: how many batches sit between a
     # dispatch and its phase-1 finish (and between phase 1 and phase 2).
@@ -1999,6 +2037,7 @@ class Classifier:
         pend1: deque = deque()   # dispatched, awaiting phase 1
         pend2: deque = deque()   # phase-1 done, awaiting phase 2
         for names, a1, l1, a2, l2 in batches:
+            self._last_batch = (names, a1, l1, a2, l2)
             self._maybe_switch_device_assign()
             ctx = self._dispatch_batch(names, a1, l1, a2, l2)
             while len(pend2) >= depth:

@@ -96,8 +96,10 @@ def test_pair_prefix_overflow_rerun(db):
 
 
 def test_auto_switch_to_device_assign(db):
-    """Force the degraded-link detector (threshold 0) — the run must
-    switch flows mid-stream and still produce identical classifications."""
+    """Force the degraded-link detector (threshold 0) — the detector
+    kicks off a background compile of the device-assign flow, keeps the
+    host flow until it is ready, then flips; results must stay
+    identical before, across, and after the flip."""
     db_dir, reads = db
     _, want = _run(db_dir, reads)
     params = ClassifyParams(seq_mode=1, min_score=0.15, min_sp_score=0.5,
@@ -106,8 +108,14 @@ def test_auto_switch_to_device_assign(db):
     assert clf._da_auto_ok and not clf._device_assign
     clf._SYNC_SWITCH_S = 0.0
     out = clf.classify_file(str(reads))
-    assert clf._device_assign, "detector must have flipped the flow"
+    assert getattr(clf, "_da_state", "off") in ("compiling", "ready"), \
+        "detector must have started the background compile"
     assert [_res(q) for q in out] == want
+    clf._da_thread.join(timeout=120)
+    assert clf._da_state == "ready"
+    out2 = clf.classify_file(str(reads))
+    assert clf._device_assign, "flow must flip once the compile is ready"
+    assert [_res(q) for q in out2] == want
 
 
 def test_env_pin_disables_auto_switch(db, monkeypatch):
